@@ -1,0 +1,76 @@
+"""Public API: commit / generate_proof / verify.
+
+TPU-native counterpart of the reference facade
+/root/reference/src/lib.rs:22-44 (frieda::api). Same three operations, same
+behavioral quirks (documented in SURVEY.md §3.3-3.4):
+  * `verify` never receives the Commitment — binding requires the caller to
+    compare proof.first_layer_commitment against it, exactly as in the
+    reference.
+  * empty input commits to the zero polynomial of log size 2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_CONFIG, PcsConfig  # noqa: F401  (re-export)
+from .core import fft, merkle
+from .utils.packing import ceil_log2, polynomial_from_bytes
+
+Commitment = bytes  # 32-byte Merkle root ([u8; 32] in the reference)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _commit_pipeline(coeffs, twiddles):
+    """coeffs (4, 2^L) -> (evals (4, 2^n), merkle levels)."""
+    evals = fft.evaluate(coeffs, list(twiddles))
+    levels = merkle.tree_levels(evals)
+    return evals, levels
+
+
+def commit_with_tree(data: bytes, log_blowup_factor: int):
+    """Full commit pipeline; returns (root_bytes, evals, device_levels,
+    log_domain_size). Shared by commit() and the FRI prover (the FRI first
+    layer *is* the commitment — src/proof.rs:126-135)."""
+    coeffs = polynomial_from_bytes(data)
+    log_size = ceil_log2(coeffs.shape[1])
+    n = log_size + log_blowup_factor
+    twiddles = tuple(fft.stage_twiddles(n))
+    evals, levels = _commit_pipeline(jnp.asarray(coeffs), twiddles)
+    root = merkle.root_to_bytes(np.asarray(jax.device_get(merkle.root_words(levels))))
+    return root, evals, levels, n
+
+
+def commit(data: bytes, log_blowup_factor: int) -> Commitment:
+    """Commit to a data blob (reference: src/commit.rs:11-22)."""
+    root, _, _, _ = commit_with_tree(data, log_blowup_factor)
+    return root
+
+
+def generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT_CONFIG):
+    """Generate a FRIDA DAS proof (reference: src/proof.rs:28-77).
+    seed: Optional[int] mixed into the Fiat-Shamir channel."""
+    from .core.fri import commit_and_generate_proof
+
+    _, proof = commit_and_generate_proof(data, seed, pcs_config)
+    return proof
+
+
+def commit_and_prove(data: bytes, seed, pcs_config: PcsConfig = DEFAULT_CONFIG):
+    """Returns (commitment, proof) — reference commit_and_generate_proof."""
+    from .core.fri import commit_and_generate_proof
+
+    return commit_and_generate_proof(data, seed, pcs_config)
+
+
+def verify(proof, seed) -> bool:
+    """Verify a proof under the sampling seed (reference: src/proof.rs:79-101).
+    NB: deliberately does not take the Commitment (reference API quirk) —
+    compare proof.first_layer_commitment yourself for binding."""
+    from .core.fri import verify_proof
+
+    return verify_proof(proof, seed)

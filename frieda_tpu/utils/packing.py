@@ -1,0 +1,49 @@
+"""Byte -> M31 felt ingest (host, vectorized numpy).
+
+Production counterpart of /root/reference/src/utils.rs:10-33 (spec: SURVEY.md
+A.1, golden-verified; oracle: frieda_tpu/spec/commit.py). Packs the input's
+LSB-first bit stream into 30-bit little-endian chunks — every chunk < 2^30 so
+all felts are canonical by construction.
+
+Vectorization: lcm(8, 30) = 120 bits, so each 15-byte block yields exactly
+4 felts via fixed shifts/masks (no per-bit work).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bytes_to_felts(data: bytes) -> np.ndarray:
+    n_bits = 8 * len(data)
+    n_felts = -(-n_bits // 30)
+    if n_felts == 0:
+        return np.zeros(0, np.uint32)
+    n_blocks = -(-len(data) // 15)
+    buf = np.zeros(n_blocks * 15, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    b = buf.reshape(n_blocks, 15).astype(np.uint32)
+    f0 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | ((b[:, 3] & 0x3F) << 24)
+    f1 = (b[:, 3] >> 6) | (b[:, 4] << 2) | (b[:, 5] << 10) | (b[:, 6] << 18) | ((b[:, 7] & 0x0F) << 26)
+    f2 = (b[:, 7] >> 4) | (b[:, 8] << 4) | (b[:, 9] << 12) | (b[:, 10] << 20) | ((b[:, 11] & 0x03) << 28)
+    f3 = (b[:, 11] >> 2) | (b[:, 12] << 6) | (b[:, 13] << 14) | (b[:, 14] << 22)
+    felts = np.stack([f0, f1, f2, f3], axis=1).reshape(-1)
+    return felts[:n_felts]
+
+
+def ceil_log2(n: int) -> int:
+    """Exact integer ceil(log2(n)), n >= 1. (The reference uses f64 log2 at
+    src/utils.rs:23, exact for every reachable size < 2^49.)"""
+    return max(n - 1, 0).bit_length()
+
+
+def polynomial_from_bytes(data: bytes) -> np.ndarray:
+    """Felts padded to 2^max(ceil_log2(n), 2), split into the 4 coordinate
+    polynomials of one secure circle polynomial: shape (4, 2^log_size),
+    natural coefficient order (src/utils.rs:21-33)."""
+    felts = bytes_to_felts(data)
+    log_total = max(ceil_log2(max(len(felts), 1)), 2)
+    total = 1 << log_total
+    padded = np.zeros(total, np.uint32)
+    padded[: len(felts)] = felts
+    return padded.reshape(4, total // 4)
