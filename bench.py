@@ -1,0 +1,97 @@
+"""Benchmark harness: commit throughput on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): commit throughput in M31 felts/sec/chip at a
+2^22-felt blob (per-coordinate polys 2^20, eval domain 2^24 at blowup 2^4 —
+the "2^20-2^24 blob" regime). The Rust reference publishes no numbers
+(BASELINE.md); vs_baseline is measured against a documented estimate of
+stwo's single-threaded scalar CpuBackend commit throughput, ~2.5e6 felts/s
+(O(N log N) scalar circle FFT + ~100ns/blake2s-compress Merkle; the
+BASELINE.json target is >= 10x that at 2^24-element scale).
+
+Extra context (timings for each size + proof gen/verify) goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import numpy as np
+
+RUST_SINGLE_CORE_FELTS_PER_SEC = 2.5e6  # documented estimate, see module docstring
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def synthetic_data(n_bytes: int) -> bytes:
+    return (np.arange(n_bytes, dtype=np.uint32) % 256).astype(np.uint8).tobytes()
+
+
+def bench_commit(log_felts: int, log_blowup: int = 4, iters: int = 5):
+    """End-to-end commit (bytes -> root) wall time; returns felts/sec."""
+    from frieda_tpu import api
+
+    n_bytes = (1 << log_felts) * 30 // 8
+    data = synthetic_data(n_bytes)
+    n_felts = 1 << log_felts
+    api.commit(data, log_blowup)  # warm up / compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        api.commit(data, log_blowup)
+    dt = (time.perf_counter() - t0) / iters
+    return n_felts / dt, dt
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    results = {}
+    for log_felts in (16, 20, 22):
+        try:
+            tput, dt = bench_commit(log_felts)
+            results[log_felts] = (tput, dt)
+            log(f"commit 2^{log_felts} felts (domain 2^{log_felts+4-2} per col): "
+                f"{dt*1e3:.1f} ms, {tput/1e6:.1f} M felts/s")
+        except Exception as e:  # noqa: BLE001
+            log(f"commit 2^{log_felts} failed: {e}")
+
+    # Proof generation + verification timing at the reference bench config.
+    try:
+        from frieda_tpu import api
+        from frieda_tpu.config import DEFAULT_CONFIG
+
+        data = synthetic_data(262146)
+        t0 = time.perf_counter()
+        _, proof = api.commit_and_prove(data, len(data), DEFAULT_CONFIG)
+        t_prove = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ok = api.verify(proof, len(data))
+        t_verify = time.perf_counter() - t0
+        log(f"blob prove: {t_prove*1e3:.0f} ms, verify: {t_verify*1e3:.0f} ms, ok={ok}")
+    except Exception as e:  # noqa: BLE001
+        log(f"prove/verify bench failed: {e}")
+
+    headline = max(results) if results else None
+    if headline is None:
+        print(json.dumps({"metric": "commit_throughput", "value": 0.0,
+                          "unit": "M31 felts/sec/chip", "vs_baseline": 0.0}))
+        return
+    tput, _ = results[headline]
+    print(json.dumps({
+        "metric": f"commit_throughput_2^{headline}_felts_blowup16",
+        "value": round(tput, 1),
+        "unit": "M31 felts/sec/chip",
+        "vs_baseline": round(tput / RUST_SINGLE_CORE_FELTS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,23 +26,23 @@ Commitment = bytes  # 32-byte Merkle root ([u8; 32] in the reference)
 
 @functools.partial(jax.jit, static_argnums=())
 def _commit_pipeline(coeffs, twiddles):
-    """coeffs (4, 2^L) -> (evals (4, 2^n), merkle levels)."""
+    """coeffs (4, 2^L) -> (evals (4, 2^n), wide device merkle levels)."""
     evals = fft.evaluate(coeffs, list(twiddles))
-    levels = merkle.tree_levels(evals)
-    return evals, levels
+    dlevels = merkle.device_levels(evals)
+    return evals, dlevels
 
 
 def commit_with_tree(data: bytes, log_blowup_factor: int):
-    """Full commit pipeline; returns (root_bytes, evals, device_levels,
+    """Full commit pipeline; returns (root_bytes, evals, CommitTree,
     log_domain_size). Shared by commit() and the FRI prover (the FRI first
     layer *is* the commitment — src/proof.rs:126-135)."""
     coeffs = polynomial_from_bytes(data)
     log_size = ceil_log2(coeffs.shape[1])
     n = log_size + log_blowup_factor
     twiddles = tuple(fft.stage_twiddles(n))
-    evals, levels = _commit_pipeline(jnp.asarray(coeffs), twiddles)
-    root = merkle.root_to_bytes(np.asarray(jax.device_get(merkle.root_words(levels))))
-    return root, evals, levels, n
+    evals, dlevels = _commit_pipeline(jnp.asarray(coeffs), twiddles)
+    tree = merkle.CommitTree(dlevels, n)
+    return tree.root, evals, tree, n
 
 
 def commit(data: bytes, log_blowup_factor: int) -> Commitment:

@@ -1,4 +1,4 @@
-"""Merkle commitment over evaluation columns (device hashing + host openings).
+"""Merkle commitment over evaluation columns (device hashing + host top/openings).
 
 TPU-native equivalent of stwo's vcs MerkleProver/MerkleVerifier as used by the
 reference (/root/reference/src/commit.rs:17-21, src/proof.rs:14; spec:
@@ -8,10 +8,11 @@ SURVEY.md A.6, golden-verified):
   inner    = raw_compress(0, left(8 words) || right(8 words))
   root     = top node, serialized as 8 little-endian u32 words.
 
-Tree construction is a fully unrolled device pass (one compress_batch per
-level). Multi-openings ("decommitments") are generated and verified host-side
-from the level tables — the verifier is light-client-sized, the prover only
-pays one device->host transfer of the queried paths.
+The wide levels are one fused device pass each (compress_batch); once a level
+shrinks to <= 2^HOST_CUTOFF_LOG nodes the remainder is finished on host with
+the numpy oracle kernel — tiny levels are pure dispatch overhead on TPU and
+inflate compile time. Openings are planned with value-free host index math
+and fetched with small device gathers (see core/fri.py).
 
 Opening format (deterministic, mirrors stwo's hash_witness concept): walking
 levels bottom-up over the sorted set of known node indices, every sibling
@@ -27,38 +28,82 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..spec.blake2s import compress_batch as np_compress_batch
+from ..spec.blake2s import raw_compress
 from .blake2s import compress_batch
 
+HOST_CUTOFF_LOG = 6  # finish the tree on host once a level has <= 64 nodes
 
-def tree_levels(columns: jnp.ndarray) -> list[list[jnp.ndarray]]:
-    """Build all hash levels on device. columns: (4, N) uint32 (stored order).
-    Returns levels leaves-first; each level is a list of 8 uint32 (n,) arrays.
-    """
+
+def device_levels(columns: jnp.ndarray, cutoff_log: int = HOST_CUTOFF_LOG):
+    """Wide hash levels on device. columns: (4, N) uint32 (stored order).
+    Returns levels leaves-first (each a list of 8 uint32 (n,) arrays),
+    stopping once a level has <= 2^cutoff_log nodes."""
     assert columns.shape[0] == 4
     n = columns.shape[1]
     zero = jnp.zeros((n,), jnp.uint32)
     msg = [columns[i] for i in range(4)] + [zero] * 12
     level = compress_batch(msg)
     levels = [level]
-    while level[0].shape[0] > 1:
+    while level[0].shape[0] > (1 << cutoff_log):
         msg = [w[0::2] for w in level] + [w[1::2] for w in level]
         level = compress_batch(msg)
         levels.append(level)
     return levels
 
 
-def root_words(levels) -> jnp.ndarray:
-    return jnp.stack([w[0] for w in levels[-1]])
+def host_levels_from(top: np.ndarray) -> list[np.ndarray]:
+    """Finish the tree on host from the last device level ((8, m) uint32)."""
+    levels = []
+    level = top
+    while level.shape[1] > 1:
+        msg = np.concatenate([level[:, 0::2], level[:, 1::2]], axis=0)
+        level = np_compress_batch(np.ascontiguousarray(msg))
+        levels.append(level)
+    return levels
 
 
-def root_to_bytes(words: np.ndarray) -> bytes:
-    return b"".join(int(w).to_bytes(4, "little") for w in np.asarray(words))
+class CommitTree:
+    """Full Merkle tree: wide device levels + narrow host levels + root."""
+
+    def __init__(self, dlevels, log_n_leaves: int):
+        self.dlevels = dlevels
+        self.log_n_leaves = log_n_leaves
+        top = np.asarray(jax.device_get(jnp.stack(dlevels[-1])))
+        self.hlevels = host_levels_from(top)
+        root_words = self.hlevels[-1][:, 0] if self.hlevels else top[:, 0]
+        self.root = b"".join(int(w).to_bytes(4, "little") for w in root_words)
+
+    @property
+    def n_device_levels(self) -> int:
+        return len(self.dlevels)
+
+    def gather_nodes(self, level: int, indices) -> list[bytes]:
+        """Node hashes at a level (0 = leaves), small-gather friendly."""
+        if not indices:
+            return []
+        if level < len(self.dlevels):
+            lv = self.dlevels[level]
+            idx = jnp.asarray(indices, jnp.int32)
+            g = np.asarray(jax.device_get(jnp.stack([w[idx] for w in lv])))
+        else:
+            g = self.hlevels[level - len(self.dlevels)][:, list(indices)]
+        return [
+            b"".join(int(g[w, j]).to_bytes(4, "little") for w in range(8))
+            for j in range(len(indices))
+        ]
 
 
-def levels_to_host(levels) -> list[np.ndarray]:
-    """Device levels -> list of (8, n) numpy arrays."""
-    flat = jax.device_get(levels)
-    return [np.stack(lv) for lv in flat]
+def build_tree(columns: jnp.ndarray) -> CommitTree:
+    """Convenience non-fused build (the hot paths fuse device_levels into
+    their own jitted pipelines and construct CommitTree from the result)."""
+    log_n = int(columns.shape[1]).bit_length() - 1
+    return CommitTree(_device_levels_jit(columns), log_n)
+
+
+@jax.jit
+def _device_levels_jit(columns):
+    return device_levels(columns)
 
 
 @dataclass
@@ -67,7 +112,7 @@ class MerkleDecommitment:
     MerkleDecommitment.hash_witness; column values travel separately as the
     FRI layer's fri_witness — SURVEY.md B.4)."""
 
-    hash_witness: list[bytes] = field(default_factory=list)
+    hash_witness: list = field(default_factory=list)
 
     def to_dict(self):
         return {"hash_witness": [h.hex() for h in self.hash_witness]}
@@ -77,35 +122,10 @@ class MerkleDecommitment:
         return cls(hash_witness=[bytes.fromhex(h) for h in d["hash_witness"]])
 
 
-def _node_bytes(level: np.ndarray, idx: int) -> bytes:
-    return b"".join(int(w).to_bytes(4, "little") for w in level[:, idx])
-
-
-def prove_openings(host_levels: list[np.ndarray], leaf_indices) -> MerkleDecommitment:
-    """Generate the hash witness for the sorted, deduped set of leaf indices,
-    assuming the verifier knows the leaf *values* at exactly those indices."""
-    known = sorted(set(int(i) for i in leaf_indices))
-    dec = MerkleDecommitment()
-    for level in host_levels[:-1]:
-        next_known = []
-        i = 0
-        while i < len(known):
-            idx = known[i]
-            sib = idx ^ 1
-            if i + 1 < len(known) and known[i + 1] == sib:
-                i += 2
-            else:
-                dec.hash_witness.append(_node_bytes(level, sib))
-                i += 1
-            next_known.append(idx >> 1)
-        known = next_known
-    return dec
-
-
 def verify_openings(
     root: bytes,
     log_n_leaves: int,
-    leaf_hashes: dict[int, bytes],
+    leaf_hashes: dict,
     dec: MerkleDecommitment,
 ) -> bool:
     """Recompute the root from known leaf hashes + hash witness. Returns False
@@ -114,7 +134,7 @@ def verify_openings(
     wit = iter(dec.hash_witness)
     try:
         for _ in range(log_n_leaves):
-            nxt: dict[int, bytes] = {}
+            nxt = {}
             idxs = sorted(known)
             i = 0
             while i < len(idxs):
@@ -125,11 +145,13 @@ def verify_openings(
                     i += 2
                 else:
                     sib_hash = next(wit)
+                    if not isinstance(sib_hash, bytes) or len(sib_hash) != 32:
+                        return False
                     left, right = (
                         (known[idx], sib_hash) if idx % 2 == 0 else (sib_hash, known[idx])
                     )
                     i += 1
-                nxt[idx >> 1] = _hash_pair(left, right)
+                nxt[idx >> 1] = hash_pair(left, right)
             known = nxt
     except StopIteration:
         return False
@@ -140,16 +162,12 @@ def verify_openings(
 
 def leaf_hash_host(column_values) -> bytes:
     """Host-side leaf hash: 4 column u32 values zero-padded to 16 words."""
-    from ..spec.blake2s import raw_compress
-
     m = [int(v) for v in column_values] + [0] * (16 - len(column_values))
     out = raw_compress(m)
     return b"".join(int(w).to_bytes(4, "little") for w in out)
 
 
-def _hash_pair(left: bytes, right: bytes) -> bytes:
-    from ..spec.blake2s import raw_compress
-
+def hash_pair(left: bytes, right: bytes) -> bytes:
     m = [int.from_bytes(left[4 * i : 4 * i + 4], "little") for i in range(8)]
     m += [int.from_bytes(right[4 * i : 4 * i + 4], "little") for i in range(8)]
     out = raw_compress(m)

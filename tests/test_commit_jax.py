@@ -1,0 +1,31 @@
+"""JAX commit path vs spec oracle and the reference's golden vector."""
+
+import numpy as np
+import pytest
+
+from frieda_tpu import api
+from frieda_tpu.spec import commit as sc
+from frieda_tpu.utils import packing
+from tests.conftest import GOLDEN_BLOB_ROOT
+
+
+def test_packing_matches_spec():
+    rng = np.random.default_rng(3)
+    for size in (0, 1, 14, 15, 16, 29, 30, 31, 100, 4097):
+        data = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        assert np.array_equal(packing.bytes_to_felts(data), sc.bytes_to_felts(data))
+        assert np.array_equal(
+            packing.polynomial_from_bytes(data), sc.polynomial_from_bytes(data)
+        )
+
+
+@pytest.mark.parametrize("size,log_blowup", [(0, 2), (1, 2), (64, 1), (333, 3), (1024, 4), (4096, 2)])
+def test_commit_matches_oracle(size, log_blowup):
+    data = bytes((i * 31 + size) % 256 for i in range(size))
+    assert api.commit(data, log_blowup) == sc.commit(data, log_blowup)
+
+
+@pytest.mark.slow
+def test_commit_golden_blob_jax(blob):
+    # The reference's golden vector (src/commit.rs:28-38) on the JAX path.
+    assert api.commit(blob, 4) == GOLDEN_BLOB_ROOT

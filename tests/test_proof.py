@@ -1,0 +1,172 @@
+"""Proof-path test suite — ports the reference's 12 inline tests (SURVEY.md §4;
+/root/reference/src/lib.rs:46-86, src/proof.rs:103-194) plus wire-format
+round-trips. Uses small inputs so CPU compiles stay fast; blob-scale parity is
+covered by test_commit_jax.py and bench.py."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from frieda_tpu import api
+from frieda_tpu.config import FriConfig, PcsConfig
+from frieda_tpu.core.proof import Proof
+
+# Reference test config (src/proof.rs:109-116): blowup 4, last layer 1, 20
+# queries, 20 pow bits — but with fewer pow bits to keep CPU tests snappy
+# (pow grinding semantics are covered separately in test_channel_grind.py).
+CFG = PcsConfig(pow_bits=6, fri_config=FriConfig(4, 1, 20))
+DATA = bytes((i * 7 + 3) % 256 for i in range(4096))
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def proof_pair():
+    commitment, proof = api.commit_and_prove(DATA, SEED, CFG)
+    return commitment, proof
+
+
+def _clone(proof: Proof) -> Proof:
+    return Proof.from_dict(proof.to_dict())
+
+
+def test_end_to_end(proof_pair):
+    # lib.rs:52-85: commit -> prove -> verify == true
+    _, proof = proof_pair
+    assert api.verify(proof, SEED)
+
+
+def test_generate_proof_has_inner_layers(proof_pair):
+    # src/proof.rs:119-124: at least one inner FRI layer
+    _, proof = proof_pair
+    assert len(proof.proof.inner_layers) >= 1
+
+
+def test_commit_and_generate_proof_binding(proof_pair):
+    # src/proof.rs:126-135: standalone commit == FRI first-layer commitment
+    commitment, proof = proof_pair
+    assert api.commit(DATA, CFG.fri_config.log_blowup_factor) == commitment
+    assert proof.first_layer_commitment == commitment
+
+
+def test_verify_proof(proof_pair):
+    # src/proof.rs:136-141
+    _, proof = proof_pair
+    assert api.verify(proof, SEED)
+
+
+def test_verify_proof_with_invalid_pow(proof_pair):
+    # src/proof.rs:143-149: nonce + 1 => false
+    _, proof = proof_pair
+    bad = _clone(proof)
+    bad.proof_of_work += 1
+    assert not api.verify(bad, SEED)
+
+
+def test_verify_proof_with_invalid_evaluations(proof_pair):
+    # src/proof.rs:151-157: perturb one QM31 evaluation => false
+    _, proof = proof_pair
+    bad = _clone(proof)
+    a, b, c, d = bad.evaluations[0]
+    bad.evaluations[0] = ((a + 1) % ((1 << 31) - 1), b, c, d)
+    assert not api.verify(bad, SEED)
+
+
+def test_verify_proof_with_invalid_evaluations_order(proof_pair):
+    # src/proof.rs:158-164: reversed evaluations => false
+    _, proof = proof_pair
+    bad = _clone(proof)
+    bad.evaluations = list(reversed(bad.evaluations))
+    assert not api.verify(bad, SEED)
+
+
+def test_verify_proof_with_invalid_evaluations_length(proof_pair):
+    # src/proof.rs:166-173: popped evaluation => PANIC (reference quirk:
+    # raises instead of returning false).
+    _, proof = proof_pair
+    bad = _clone(proof)
+    bad.evaluations.pop()
+    with pytest.raises(Exception):
+        api.verify(bad, SEED)
+
+
+def test_verify_proof_with_invalid_1_evaluation_unordered(proof_pair):
+    # src/proof.rs:175-181: swap two evaluations => false
+    _, proof = proof_pair
+    bad = _clone(proof)
+    bad.evaluations[0], bad.evaluations[1] = bad.evaluations[1], bad.evaluations[0]
+    assert not api.verify(bad, SEED)
+
+
+def test_verify_proof_with_seed(proof_pair):
+    # src/proof.rs:183-193: proofs are seed-bound; different seeds yield
+    # different query sets (the DAS sampling contract).
+    _, proof = proof_pair
+    assert not api.verify(proof, SEED + 1)
+    assert not api.verify(proof, None)
+    _, proof2 = api.commit_and_prove(DATA, SEED + 1, CFG)
+    assert proof2.evaluations != proof.evaluations
+    assert api.verify(proof2, SEED + 1)
+
+
+def test_none_seed_round_trip():
+    commitment, proof = api.commit_and_prove(DATA, None, CFG)
+    assert api.verify(proof, None)
+    assert not api.verify(proof, 0)  # None and 0 are distinct transcripts
+
+
+def test_tampered_layer_commitment(proof_pair):
+    _, proof = proof_pair
+    bad = _clone(proof)
+    bad.proof.inner_layers[0].commitment = bytes(32)
+    assert not api.verify(bad, SEED)
+
+
+def test_tampered_witness(proof_pair):
+    _, proof = proof_pair
+    bad = _clone(proof)
+    if bad.proof.first_layer.fri_witness:
+        a, b, c, d = bad.proof.first_layer.fri_witness[0]
+        bad.proof.first_layer.fri_witness[0] = ((a + 1) % ((1 << 31) - 1), b, c, d)
+        assert not api.verify(bad, SEED)
+    bad2 = _clone(proof)
+    if bad2.proof.first_layer.decommitment.hash_witness:
+        bad2.proof.first_layer.decommitment.hash_witness[0] = bytes(32)
+        assert not api.verify(bad2, SEED)
+
+
+def test_tampered_last_layer(proof_pair):
+    _, proof = proof_pair
+    bad = _clone(proof)
+    a, b, c, d = bad.proof.last_layer_poly[0]
+    bad.proof.last_layer_poly[0] = ((a + 1) % ((1 << 31) - 1), b, c, d)
+    assert not api.verify(bad, SEED)
+
+
+def test_proof_serialization_round_trips(proof_pair):
+    _, proof = proof_pair
+    d = proof.to_dict()
+    assert Proof.from_dict(d).to_dict() == d
+    wire = proof.to_bytes()
+    restored = Proof.from_bytes(wire)
+    assert restored.to_dict() == d
+    assert api.verify(restored, SEED)
+    # serialization is canonical
+    assert restored.to_bytes() == wire
+
+
+def test_prove_various_sizes():
+    cfg = PcsConfig(pow_bits=4, fri_config=FriConfig(2, 0, 8))
+    for size in (16, 17, 1024):
+        data = bytes((i * 13 + 1) % 256 for i in range(size))
+        commitment, proof = api.commit_and_prove(data, 7, cfg)
+        assert api.verify(proof, 7)
+        assert proof.first_layer_commitment == commitment
+
+
+def test_unsatisfiable_config_raises():
+    # 1-byte input -> per-coordinate poly log size 0: the circle->line fold
+    # cannot reach last layer bound 0 (the Rust stack panics here too).
+    cfg = PcsConfig(pow_bits=4, fri_config=FriConfig(2, 0, 8))
+    with pytest.raises(ValueError):
+        api.commit_and_prove(b"\x01", 7, cfg)
