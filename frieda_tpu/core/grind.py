@@ -17,39 +17,20 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .blake2s import IV
+
 from .channel import Blake2sChannel
 
 
 def _full_blake2s_40_batch(digest_words, nonces_lo, nonces_hi):
-    """Batched full blake2s-256 of (digest || nonce_le8). Returns the first
-    two output words (enough for pow_bits <= 64)."""
-    from .blake2s import G_INDICES, SIGMA, _ror
+    """Batched full blake2s-256 of (digest || nonce_le8) — one final block of
+    40 bytes. Returns the first two output words (enough for pow_bits <= 64)."""
+    from .blake2s import blake2s_hash_one_block
 
     shape = nonces_lo.shape
     m = [jnp.broadcast_to(w, shape) for w in digest_words]
     m += [nonces_lo, nonces_hi] + [jnp.zeros(shape, jnp.uint32)] * 6
-    h = [jnp.full(shape, iv, jnp.uint32) for iv in IV]
-    h[0] = h[0] ^ jnp.uint32(0x01010020)  # digest_length=32, fanout=1, depth=1
-    v = list(h) + [jnp.full(shape, iv, jnp.uint32) for iv in IV]
-    v[12] = v[12] ^ jnp.uint32(40)  # t0 = 40 bytes
-    v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)  # final block flag
-    for rnd in range(10):
-        s = SIGMA[rnd]
-        for g, (a, b, c, d) in enumerate(G_INDICES):
-            x, y = m[s[2 * g]], m[s[2 * g + 1]]
-            va = v[a] + v[b] + x
-            vd = _ror(v[d] ^ va, 16)
-            vc = v[c] + vd
-            vb = _ror(v[b] ^ vc, 12)
-            va = va + vb + y
-            vd = _ror(vd ^ va, 8)
-            vc = vc + vd
-            vb = _ror(vb ^ vc, 7)
-            v[a], v[b], v[c], v[d] = va, vb, vc, vd
-    w0 = h[0] ^ v[0] ^ v[8]
-    w1 = h[1] ^ v[1] ^ v[9]
-    return w0, w1
+    out = blake2s_hash_one_block(m, data_len=40)
+    return out[0], out[1]
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

@@ -7,7 +7,10 @@ Real-TPU execution is exercised by bench.py and __graft_entry__.py instead.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NB: the environment pre-sets JAX_PLATFORMS=axon (TPU tunnel) via a
+# sitecustomize hook; the env var alone does not stick — force the platform
+# through jax.config below as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
@@ -18,6 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
