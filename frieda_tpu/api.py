@@ -27,7 +27,7 @@ Commitment = bytes  # 32-byte Merkle root ([u8; 32] in the reference)
 @functools.partial(jax.jit, static_argnums=())
 def _commit_pipeline(coeffs, twiddles):
     """coeffs (4, 2^L) -> (evals (4, 2^n), wide device merkle levels)."""
-    evals = fft.evaluate(coeffs, list(twiddles))
+    evals = fft.evaluate(coeffs, twiddles)
     dlevels = merkle.device_levels(evals)
     return evals, dlevels
 
@@ -39,8 +39,9 @@ def commit_with_tree(data: bytes, log_blowup_factor: int):
     coeffs = polynomial_from_bytes(data)
     log_size = ceil_log2(coeffs.shape[1])
     n = log_size + log_blowup_factor
-    twiddles = tuple(fft.stage_twiddles(n))
-    evals, dlevels = _commit_pipeline(jnp.asarray(coeffs), twiddles)
+    twiddles = fft.stage_twiddles(n)
+    coeffs_rev = fft.bitrev_coeffs(coeffs)  # device consumes bitrev order
+    evals, dlevels = _commit_pipeline(jnp.asarray(coeffs_rev), twiddles)
     tree = merkle.CommitTree(dlevels, n)
     return tree.root, evals, tree, n
 

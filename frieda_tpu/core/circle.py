@@ -5,16 +5,27 @@ The circle geometry itself is index math on the host (SURVEY.md §2.2 row
 the device. Reference semantics: /root/reference/src/commit.rs:14-16 and
 SURVEY.md A.3-A.5 (golden-verified).
 
-A `Twiddles(log_size)` instance covers the canonic CircleDomain of size
-2^log_size (half coset = Coset::half_odds(log_size - 1)) in bit-reversed
-storage order and carries everything both commit and FRI need:
+Layout convention — NATURAL order on device. The device pipeline keeps every
+array in natural domain-enumeration order (SURVEY.md A.3: [half_coset,
+conjugates]); the reference's bit-reversed *storage* order exists only as
+host-side index arithmetic (stored index s <-> natural index bitrev(s)).
+Natural order makes every device access pattern contiguous:
 
-  ys[k]            y(q_k),  q_k = half_coset[bitrev(k)]          (2^(n-1),)
-  xs_evens[l]      X_l[2k] — even entries of the level-l x-domain (2^(n-2-l),)
-  ys_inv, xs_evens_inv   — matching batched inverses (for FRI folds)
+  * conjugate pairs / ±x pairs sit at (j, j + size/2) — array halves;
+  * FFT stages write whole sub-blocks (no lane interleaves);
+  * Merkle levels pair halves; FRI folds combine halves.
 
-Evaluate-stage twiddle at depth d: ys if d == 0 else xs_evens[d-1]; the odd
-entries are the negations (asserted at construction).
+`Twiddles(log_size)` covers the canonic CircleDomain of size 2^log_size
+(half coset = Coset::half_odds(log_size - 1)):
+
+  ys[t]            y(p_t), half-coset points in natural order    (2^(n-1),)
+  xs_layers[l]     L_l: x-line layer l, natural, first-half entries only
+                   (L_0[t] = x(p_t) for t < 2^(n-2) ... down to size 1);
+                   the dropped second half satisfies L[t+half] == -L[t]
+                   (asserted at construction)
+  ys_inv, xs_layers_inv   — matching batched inverses (for FRI folds)
+
+FFT stage twiddle at depth d: ys if d == 0 else xs_layers[d-1].
 """
 
 from __future__ import annotations
@@ -60,11 +71,19 @@ def _batch_inv(a: np.ndarray) -> np.ndarray:
 
 
 def bitrev_permutation(log_n: int) -> np.ndarray:
-    idx = np.arange(1 << log_n, dtype=np.uint32)
+    idx = np.arange(1 << log_n, dtype=np.int64)
     rev = np.zeros_like(idx)
     for i in range(log_n):
-        rev |= ((idx >> np.uint32(i)) & np.uint32(1)) << np.uint32(log_n - 1 - i)
+        rev |= ((idx >> np.int64(i)) & np.int64(1)) << np.int64(log_n - 1 - i)
     return rev
+
+
+def bit_reverse_index(i: int, log_n: int) -> int:
+    r = 0
+    for _ in range(log_n):
+        r = (r << 1) | (i & 1)
+        i >>= 1
+    return r
 
 
 def half_odds_points(log_size: int):
@@ -90,23 +109,24 @@ class Twiddles:
         self.log_size = log_size
         m = log_size - 1
         xs, ys = half_odds_points(m)
-        rev = bitrev_permutation(m)
-        xs, ys = xs[rev], ys[rev]
         self.ys = ys.astype(np.uint32)
         self.ys_inv = _batch_inv(ys).astype(np.uint32)
-        self.xs_evens: list[np.ndarray] = []
-        self.xs_evens_inv: list[np.ndarray] = []
+        self.xs_layers: list[np.ndarray] = []
+        self.xs_layers_inv: list[np.ndarray] = []
         cur = xs
         while len(cur) >= 2:
-            ev = cur[0::2]
-            assert np.all((ev + cur[1::2]) % P == 0), "x-pair adjacency broken"
-            self.xs_evens.append(ev.astype(np.uint32))
-            self.xs_evens_inv.append(_batch_inv(ev).astype(np.uint32))
-            cur = (2 * ev % P * ev + (P - 1)) % P  # pi(x) = 2x^2 - 1
+            half = len(cur) >> 1
+            lo, hi = cur[:half], cur[half:]
+            assert np.all((lo + hi) % P == 0), "±x natural pair adjacency broken"
+            self.xs_layers.append(lo.astype(np.uint32))
+            self.xs_layers_inv.append(_batch_inv(lo).astype(np.uint32))
+            cur = (2 * lo % P * lo + (P - 1)) % P  # pi(x) = 2x^2 - 1
+        # log_size == 1: domain {p, conj p} — no line layers, ys has 1 entry.
 
     def eval_stage_twiddle(self, depth: int) -> np.ndarray:
-        """Twiddle (even entries) for evaluate stage `depth` (0 = y-stage)."""
-        return self.ys if depth == 0 else self.xs_evens[depth - 1]
+        """Twiddle table for FFT combine depth `depth` (0 = y-stage), natural
+        order, size 2^(log_size-1-depth)."""
+        return self.ys if depth == 0 else self.xs_layers[depth - 1]
 
 
 @functools.lru_cache(maxsize=16)
@@ -116,26 +136,22 @@ def get_twiddles(log_size: int) -> Twiddles:
 
 # --- per-index host helpers (verifier-side, Python ints) --------------------
 
-def bit_reverse_index(i: int, log_n: int) -> int:
-    r = 0
-    for _ in range(log_n):
-        r = (r << 1) | (i & 1)
-        i >>= 1
-    return r
+def natural_point(log_size: int, natural: int):
+    """Circle point of the canonic domain of log size n at *natural* index."""
+    m = log_size - 1
+    conj = natural >= (1 << m)
+    t = natural & ((1 << m) - 1)
+    ix, iy = _point_pow(*GENERATOR, 1 << (LOG_ORDER - 2 - m))
+    sx, sy = _point_pow(*GENERATOR, 1 << (LOG_ORDER - m))
+    px, py = _point_pow(sx, sy, t)
+    x = (ix * px - iy * py) % P
+    y = (ix * py + iy * px) % P
+    if conj:
+        y = (P - y) % P
+    return x, y
 
 
 def domain_point_at_stored_index(log_size: int, stored: int):
-    """Circle point of the canonic domain of log size n at *stored*
-    (bit-reversed) index. stored = 2k (+1): q_k = half[bitrev(k)] (conjugated
-    for odd stored indices). (SURVEY.md A.5.)"""
-    m = log_size - 1
-    k = stored >> 1
-    nat = bit_reverse_index(k, m)
-    ix, iy = _point_pow(*GENERATOR, 1 << (LOG_ORDER - 2 - m))
-    sx, sy = _point_pow(*GENERATOR, 1 << (LOG_ORDER - m))
-    px, py = _point_pow(sx, sy, nat)
-    x = (ix * px - iy * py) % P
-    y = (ix * py + iy * px) % P
-    if stored & 1:
-        y = (P - y) % P
-    return x, y
+    """Circle point at *stored* (bit-reversed) index: stored s <-> natural
+    bitrev_n(s) (SURVEY.md A.5)."""
+    return natural_point(log_size, bit_reverse_index(stored, log_size))

@@ -1,16 +1,27 @@
 """Circle FFT (low-degree extension) as vectorized JAX stage loops.
 
-Evaluates circle polynomials (natural-order coefficients, basis
-y^{b0} x^{b1} prod pi^{j-2}(x)^{bj}, SURVEY.md A.4) over the canonic
-CircleDomain, producing bit-reversed storage order (SURVEY.md A.5) — the
-TPU-native equivalent of stwo's `evaluate_with_twiddles` used at
-/root/reference/src/commit.rs:15-16 and src/proof.rs:47-50.
+Evaluates circle polynomials (basis y^{b0} x^{b1} prod pi^{j-2}(x)^{bj},
+SURVEY.md A.4) over the canonic CircleDomain — the TPU-native equivalent of
+stwo's `evaluate_with_twiddles` used at /root/reference/src/commit.rs:15-16
+and src/proof.rs:47-50.
 
-Each stage is one fused elementwise pass over the full table
-(1 M31 mul + 1 add + 1 sub per butterfly pair), so the whole transform is
-HBM-bandwidth-bound; XLA fuses the reshape/stack shuffles into the pass.
-Twiddles are precomputed host-side (core/circle.py) and passed as device
-arrays so the jitted function is reusable across inputs of the same shape.
+Layout (see core/circle.py): the device consumes coefficients in
+*bit-reversed* order (a free host-side permutation fused into ingest) and
+produces evaluations in *natural* domain order. With this choice every
+butterfly stage reads and writes whole contiguous sub-blocks — the write of
+stage depth d fills the two halves of each 2^(n-d)-element block — so no
+stage performs a lane-level interleave, and conjugate/±x pairs land in array
+halves for the Merkle/FRI consumers. The reference's bit-reversed storage
+order is recovered purely by host index arithmetic (stored s = bitrev(j)).
+
+Stage recurrence (depth d = n-1 ... 0, natural-order twiddle tables T_d from
+core/circle.py, |T_d| = 2^(n-1-d)):
+
+    out[.., 0, e] = g0[.., e] + T_d[e] * g1[.., e]
+    out[.., 1, e] = g0[.., e] - T_d[e] * g1[.., e]
+
+Each stage is one fused elementwise pass (1 M31 mul + add + sub per pair),
+HBM-bandwidth-bound.
 """
 
 from __future__ import annotations
@@ -19,59 +30,65 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import circle as hostcircle
 from .field import m31_add, m31_mul, m31_sub
 
 
-def stage_twiddles(log_size: int) -> list[jnp.ndarray]:
-    """Device twiddle list for `evaluate`: index d = depth (0 = y stage),
-    sizes 2^(n-1-d). Cached per log_size."""
-    return _stage_twiddles_cached(log_size)
-
-
 @functools.lru_cache(maxsize=16)
-def _stage_twiddles_cached(log_size: int):
+def stage_twiddles(log_size: int) -> tuple:
+    """Device twiddle tables for `evaluate`, index d = depth (0 = y stage),
+    natural order, sizes 2^(n-1-d). Cached per log_size."""
     tw = hostcircle.get_twiddles(log_size)
-    return [
-        jnp.asarray(tw.eval_stage_twiddle(d), jnp.uint32)
-        for d in range(log_size)
-    ]
+    return tuple(
+        jnp.asarray(tw.eval_stage_twiddle(d), jnp.uint32) for d in range(log_size)
+    )
 
 
-def evaluate(coeffs: jnp.ndarray, twiddles: list[jnp.ndarray]) -> jnp.ndarray:
+def bitrev_coeffs(coeffs: np.ndarray) -> np.ndarray:
+    """Host-side: permute natural-order coefficients (C, 2^L) into the
+    bit-reversed order `evaluate` consumes."""
+    log_l = int(coeffs.shape[-1]).bit_length() - 1
+    return np.ascontiguousarray(coeffs[..., hostcircle.bitrev_permutation(log_l)])
+
+
+def evaluate(coeffs_rev: jnp.ndarray, twiddles) -> jnp.ndarray:
     """Evaluate C coordinate polynomials over the domain of log size n.
 
-    coeffs: (C, 2^L) uint32, natural coefficient order, L <= n. Coefficients
-    are zero-extended to the domain size (the Reed-Solomon blowup).
-    twiddles: stage_twiddles(n).
-    Returns (C, 2^n) uint32 evaluations in bit-reversed storage order.
+    coeffs_rev: (C, 2^L) uint32, *bit-reversed* coefficient order
+    (bitrev_coeffs), L <= n; zero-extension to the domain (the Reed-Solomon
+    blowup) happens here as a free dilation.
+    twiddles: stage_twiddles(n). Returns (C, 2^n) uint32 evaluations in
+    natural domain order.
     """
     n = len(twiddles)
-    C, L = coeffs.shape[0], coeffs.shape[1]
+    C, L_len = coeffs_rev.shape
     N = 1 << n
-    assert L <= N
-    w = jnp.zeros((C, N), jnp.uint32).at[:, :L].set(coeffs)
-    # Invariant before stage d: w has shape (C, 2^(d+1), 2^(n-1-d)) flattened;
-    # axis-1 rows are sub-polynomials indexed by low coefficient bits with
-    # bit i_d leading, axis-2 is the evaluated index of the child layer.
+    assert L_len <= N and N % L_len == 0
+    if L_len < N:
+        # natural zero-extension == dilation of the bit-reversed vector:
+        # rev_n(j) = rev_L(j) << (n - L) for j < 2^L.
+        w = jnp.zeros((C, L_len, N // L_len), jnp.uint32)
+        w = w.at[:, :, 0].set(coeffs_rev).reshape(C, N)
+    else:
+        w = coeffs_rev
     for d in range(n - 1, -1, -1):
-        k = 1 << (n - 1 - d)
-        win = w.reshape(C, 2, 1 << d, k)
-        g0 = win[:, 0]
-        g1 = win[:, 1]
+        e = 1 << (n - 1 - d)  # block (and twiddle) size
+        wv = w.reshape(C, 1 << d, 2, e)
+        g0 = wv[:, :, 0, :]
+        g1 = wv[:, :, 1, :]
         t = m31_mul(twiddles[d][None, None, :], g1)
-        out = jnp.stack([m31_add(g0, t), m31_sub(g0, t)], axis=-1)
-        w = out.reshape(C, 1 << d, 2 * k)
-    return w.reshape(C, N)
+        w = jnp.stack([m31_add(g0, t), m31_sub(g0, t)], axis=2).reshape(C, N)
+    return w
 
 
-def evaluate_jit(coeffs: jnp.ndarray, log_domain_size: int) -> jnp.ndarray:
+def evaluate_jit(coeffs_rev: jnp.ndarray, log_domain_size: int) -> jnp.ndarray:
     """Jitted evaluate; twiddles passed as runtime args (not baked-in consts)
     so one executable per (shape, log size) stays small."""
-    return _evaluate_jitted(coeffs, tuple(stage_twiddles(log_domain_size)))
+    return _evaluate_jitted(coeffs_rev, stage_twiddles(log_domain_size))
 
 
-@functools.partial(jax.jit, static_argnums=())
-def _evaluate_jitted(coeffs, twiddles):
-    return evaluate(coeffs, list(twiddles))
+@jax.jit
+def _evaluate_jitted(coeffs_rev, twiddles):
+    return evaluate(coeffs_rev, twiddles)

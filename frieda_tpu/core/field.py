@@ -17,9 +17,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-P = jnp.uint32(0x7FFFFFFF)
+# NB: module constants stay Python ints (not jnp scalars) so these functions
+# can be traced inside Pallas kernels, which reject captured device constants.
 P_INT = (1 << 31) - 1
-_MASK16 = jnp.uint32(0xFFFF)
+P = P_INT  # uint32 ops with Python-int operands keep their dtype
 
 
 def _u32(x):
@@ -28,23 +29,23 @@ def _u32(x):
 
 def m31_add(a, b):
     s = a + b  # < 2P < 2^32
-    return s - jnp.where(s >= P, P, jnp.uint32(0))
+    return s - jnp.where(s >= P, jnp.uint32(P), jnp.uint32(0))
 
 
 def m31_sub(a, b):
-    s = a + (P - b)  # in (0, 2P)
-    return s - jnp.where(s >= P, P, jnp.uint32(0))
+    s = a + (jnp.uint32(P) - b)  # in (0, 2P)
+    return s - jnp.where(s >= P, jnp.uint32(P), jnp.uint32(0))
 
 
 def m31_neg(a):
-    return jnp.where(a == 0, jnp.uint32(0), P - a)
+    return jnp.where(a == 0, jnp.uint32(0), jnp.uint32(P) - a)
 
 
 def m31_mul(a, b):
     """Canonical product mod P via 16-bit limb split (no 64-bit ops)."""
-    a0 = a & _MASK16
+    a0 = a & 0xFFFF
     a1 = a >> 16  # < 2^15 for canonical inputs
-    b0 = b & _MASK16
+    b0 = b & 0xFFFF
     b1 = b >> 16
     p0 = a0 * b0          # < 2^32 (wraps are exact: full low product)
     mid = a0 * b1 + a1 * b0  # each term < 2^31, sum < 2^32
@@ -55,7 +56,7 @@ def m31_mul(a, b):
     # product = hi*2^32 + lo; 2^32 === 2 (mod P), 2^31 === 1
     s = (hi << 1) + (lo >> 31) + (lo & P)  # <= 2^32 - 4, no overflow
     s = (s & P) + (s >> 31)                # in [0, P]
-    return s - jnp.where(s >= P, P, jnp.uint32(0))
+    return s - jnp.where(s >= P, jnp.uint32(P), jnp.uint32(0))
 
 
 def m31_mul_const(a, c: int):

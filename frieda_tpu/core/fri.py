@@ -46,9 +46,11 @@ P = sf.P
 
 @jax.jit
 def _fold_circle(evals, alpha, ys_inv):
-    """evals (4, N) -> (4, N/2): circle->line fold over stored pairs."""
-    fp = tuple(evals[i, 0::2] for i in range(4))
-    fm = tuple(evals[i, 1::2] for i in range(4))
+    """evals (4, N) natural order -> (4, N/2): circle->line fold. Conjugate
+    pairs (stored 2k, 2k+1) are the two array halves in natural layout."""
+    half = evals.shape[1] // 2
+    fp = tuple(evals[i, :half] for i in range(4))
+    fm = tuple(evals[i, half:] for i in range(4))
     a = tuple(alpha[i] for i in range(4))
     f0 = qm31_add(fp, fm)
     f1 = qm31_mul_m31(qm31_sub(fp, fm), ys_inv)
@@ -57,9 +59,10 @@ def _fold_circle(evals, alpha, ys_inv):
 
 @jax.jit
 def _fold_line(evals, alpha, xs_inv):
-    """evals (4, M) -> (4, M/2): line fold over stored pairs."""
-    g0 = tuple(evals[i, 0::2] for i in range(4))
-    g1 = tuple(evals[i, 1::2] for i in range(4))
+    """evals (4, M) natural order -> (4, M/2): line fold over ±x halves."""
+    half = evals.shape[1] // 2
+    g0 = tuple(evals[i, :half] for i in range(4))
+    g1 = tuple(evals[i, half:] for i in range(4))
     a = tuple(alpha[i] for i in range(4))
     f0 = qm31_add(g0, g1)
     f1 = qm31_mul_m31(qm31_sub(g0, g1), xs_inv)
@@ -123,16 +126,18 @@ def _merkle_witness_plans(log_n: int, known_leaves):
     return plans
 
 
-def _gather_qm31(arr, indices) -> list:
-    """arr (4, M) device; indices list[int] -> list of QM31 tuples."""
-    if not indices:
+def _gather_qm31(arr, stored_indices, log_len: int) -> list:
+    """arr (4, 2^log_len) device, NATURAL layout; stored_indices are
+    reference-order positions -> list of QM31 tuples."""
+    if not stored_indices:
         return []
-    g = np.asarray(jax.device_get(arr[:, jnp.asarray(indices, jnp.int32)]))
-    return [tuple(int(g[c, j]) for c in range(4)) for j in range(len(indices))]
+    nat = [hostcircle.bit_reverse_index(s, log_len) for s in stored_indices]
+    g = np.asarray(jax.device_get(arr[:, jnp.asarray(nat, jnp.int32)]))
+    return [tuple(int(g[c, j]) for c in range(4)) for j in range(len(stored_indices))]
 
 
 def _layer_decommit(arr, tree: merkle.CommitTree, positions, log_len: int) -> FriLayerProof:
-    fri_witness = _gather_qm31(arr, _sibling_indices(positions))
+    fri_witness = _gather_qm31(arr, _sibling_indices(positions), log_len)
     leaves = _all_leaf_indices(positions)
     plans = _merkle_witness_plans(log_len, leaves)
     hashes = []
@@ -153,23 +158,22 @@ _INV2 = (P + 1) // 2
 
 
 def _ifft_line(vals, tw: hostcircle.Twiddles, depth: int):
-    """Exact inverse of the line-FFT stages: QM31 values (bitrev order) on
-    line layer `depth` -> natural-order coefficients (basis bit k <-> pi^k(x))."""
+    """Exact inverse of the line-FFT stages: QM31 values in NATURAL order on
+    line layer `depth` (±x pairs = halves) -> natural-order coefficients
+    (basis bit k <-> pi^k(x))."""
     if len(vals) == 1:
         return [vals[0]]
     half = len(vals) // 2
-    ev = tw.xs_evens[depth]
-    ev_inv = tw.xs_evens_inv[depth]
+    x_inv = tw.xs_layers_inv[depth]  # inverses of L_depth[:half]
     g0, g1 = [], []
-    for k in range(half):
-        v0, v1 = vals[2 * k], vals[2 * k + 1]
+    for t in range(half):
+        v0, v1 = vals[t], vals[t + half]
         s = sf.qm31_mul_m31(sf.qm31_add(v0, v1), _INV2)
         d = sf.qm31_mul_m31(
-            sf.qm31_mul_m31(sf.qm31_sub(v0, v1), _INV2), int(ev_inv[k])
+            sf.qm31_mul_m31(sf.qm31_sub(v0, v1), _INV2), int(x_inv[t])
         )
         g0.append(s)
         g1.append(d)
-    del ev  # only inverses are needed; adjacency asserted at build time
     c0 = _ifft_line(g0, tw, depth + 1)
     c1 = _ifft_line(g1, tw, depth + 1)
     out = []
@@ -250,12 +254,13 @@ def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT
         alpha_l = channel.draw_felt()
         inner_layers_state.append((g, tree_l))
         g = _fold_line(
-            g, jnp.asarray(alpha_l, jnp.uint32), jnp.asarray(tw.xs_evens_inv[l])
+            g, jnp.asarray(alpha_l, jnp.uint32), jnp.asarray(tw.xs_layers_inv[l])
         )
 
-    # Last layer: interpolate, check degree, truncate, mix.
+    # Last layer: interpolate (natural order), check degree, truncate, mix.
     last_arr = np.asarray(jax.device_get(g))
     last_vals = [tuple(int(last_arr[c, j]) for c in range(4)) for j in range(last_arr.shape[1])]
+    # (last_arr is already in the natural order _ifft_line consumes)
     coeffs_last = _ifft_line(last_vals, tw, n_inner)
     bound = 1 << fri_cfg.log_last_layer_degree_bound
     if any(c != sf.QM31_ZERO for c in coeffs_last[bound:]):
@@ -269,7 +274,7 @@ def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT
     queries = sample_query_positions(channel, n, fri_cfg.n_queries)
 
     # Queried evaluations (the DAS payload; src/proof.rs:63-66).
-    evaluations = _gather_qm31(evals, queries)
+    evaluations = _gather_qm31(evals, queries, n)
 
     # Decommitments.
     first_layer = _layer_decommit(evals, first_tree, queries, n)

@@ -36,8 +36,14 @@ HOST_CUTOFF_LOG = 6  # finish the tree on host once a level has <= 64 nodes
 
 
 def device_levels(columns: jnp.ndarray, cutoff_log: int = HOST_CUTOFF_LOG):
-    """Wide hash levels on device. columns: (4, N) uint32 (stored order).
-    Returns levels leaves-first (each a list of 8 uint32 (n,) arrays),
+    """Wide hash levels on device. columns: (4, N) uint32 in NATURAL domain
+    order (core/circle.py layout note). In natural order the reference's
+    sibling leaves (stored 2k, 2k+1) sit at positions (j, j + N/2), so every
+    level combines its two contiguous halves — no strided access. Node j of
+    the produced level is the stored-order node bitrev(j) (pure host index
+    math; see CommitTree.gather_nodes).
+
+    Returns levels leaves-first (each a list of 8 uint32 (m,) arrays),
     stopping once a level has <= 2^cutoff_log nodes."""
     assert columns.shape[0] == 4
     n = columns.shape[1]
@@ -45,19 +51,22 @@ def device_levels(columns: jnp.ndarray, cutoff_log: int = HOST_CUTOFF_LOG):
     msg = [columns[i] for i in range(4)] + [zero] * 12
     level = compress_batch(msg)
     levels = [level]
-    while level[0].shape[0] > (1 << cutoff_log):
-        msg = [w[0::2] for w in level] + [w[1::2] for w in level]
+    while level[0].shape[0] > max(1 << cutoff_log, 1):
+        half = level[0].shape[0] // 2
+        msg = [w[:half] for w in level] + [w[half:] for w in level]
         level = compress_batch(msg)
         levels.append(level)
     return levels
 
 
 def host_levels_from(top: np.ndarray) -> list[np.ndarray]:
-    """Finish the tree on host from the last device level ((8, m) uint32)."""
+    """Finish the tree on host from the last device level ((8, m) uint32,
+    natural order per level)."""
     levels = []
     level = top
     while level.shape[1] > 1:
-        msg = np.concatenate([level[:, 0::2], level[:, 1::2]], axis=0)
+        half = level.shape[1] // 2
+        msg = np.concatenate([level[:, :half], level[:, half:]], axis=0)
         level = np_compress_batch(np.ascontiguousarray(msg))
         levels.append(level)
     return levels
@@ -78,19 +87,24 @@ class CommitTree:
     def n_device_levels(self) -> int:
         return len(self.dlevels)
 
-    def gather_nodes(self, level: int, indices) -> list[bytes]:
-        """Node hashes at a level (0 = leaves), small-gather friendly."""
-        if not indices:
+    def gather_nodes(self, level: int, stored_indices) -> list[bytes]:
+        """Node hashes at a level (0 = leaves) by STORED (reference-order)
+        node index; converts to the natural device layout internally."""
+        if not stored_indices:
             return []
+        log_m = self.log_n_leaves - level
+        from .circle import bit_reverse_index
+
+        nat = [bit_reverse_index(s, log_m) for s in stored_indices]
         if level < len(self.dlevels):
             lv = self.dlevels[level]
-            idx = jnp.asarray(indices, jnp.int32)
+            idx = jnp.asarray(nat, jnp.int32)
             g = np.asarray(jax.device_get(jnp.stack([w[idx] for w in lv])))
         else:
-            g = self.hlevels[level - len(self.dlevels)][:, list(indices)]
+            g = self.hlevels[level - len(self.dlevels)][:, nat]
         return [
             b"".join(int(g[w, j]).to_bytes(4, "little") for w in range(8))
-            for j in range(len(indices))
+            for j in range(len(stored_indices))
         ]
 
 

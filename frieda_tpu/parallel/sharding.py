@@ -61,17 +61,19 @@ def das_prover_step(coeffs, twiddles, ys_inv, xs_inv0, alpha0, alpha1):
     This is the "training step" analogue the multi-chip dry-run exercises —
     it touches every sharded kernel family (butterfly stages, batched hashing,
     tree reduction, pairwise folds)."""
-    evals = fft.evaluate(coeffs, list(twiddles))
+    evals = fft.evaluate(coeffs, twiddles)
     root0 = _root_words(evals)
     a0 = tuple(alpha0[i] for i in range(4))
     a1 = tuple(alpha1[i] for i in range(4))
-    fp = tuple(evals[i, 0::2] for i in range(4))
-    fm = tuple(evals[i, 1::2] for i in range(4))
+    half = evals.shape[1] // 2
+    fp = tuple(evals[i, :half] for i in range(4))
+    fm = tuple(evals[i, half:] for i in range(4))
     f1 = qm31_mul_m31(qm31_sub(fp, fm), ys_inv)
     g = jnp.stack(qm31_add(qm31_add(fp, fm), qm31_mul(a0, f1)))
     root1 = _root_words(g)
-    g0 = tuple(g[i, 0::2] for i in range(4))
-    g1 = tuple(g[i, 1::2] for i in range(4))
+    quarter = half // 2
+    g0 = tuple(g[i, :quarter] for i in range(4))
+    g1 = tuple(g[i, quarter:] for i in range(4))
     h1 = qm31_mul_m31(qm31_sub(g0, g1), xs_inv0)
     g2 = jnp.stack(qm31_add(qm31_add(g0, g1), qm31_mul(a1, h1)))
     return root0, root1, g2
@@ -98,7 +100,7 @@ def batched_prover_step(coeffs_b: jnp.ndarray, log_domain: int, mesh: Mesh):
     consts = (
         tuple(fft.stage_twiddles(log_domain)),
         jnp.asarray(tw.ys_inv),
-        jnp.asarray(tw.xs_evens_inv[0]),
+        jnp.asarray(tw.xs_layers_inv[0]),
         jnp.arange(1, 5, dtype=jnp.uint32),
         jnp.arange(5, 9, dtype=jnp.uint32),
     )
@@ -116,7 +118,7 @@ def sharded_commit_root(coeffs: jnp.ndarray, log_domain: int, mesh: Mesh):
 
     @jax.jit
     def run(c, tw):
-        evals = fft.evaluate(c, list(tw))
+        evals = fft.evaluate(c, tw)
         evals = jax.lax.with_sharding_constraint(
             evals, NamedSharding(mesh, P(None, "elem"))
         )

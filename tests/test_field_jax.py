@@ -61,26 +61,41 @@ def test_qm31_mul_matches_spec():
 
 
 def test_fft_matches_spec_all_small_sizes():
+    # Device path: bit-reversed coefficients in, NATURAL-order evaluations
+    # out; the spec oracle produces the reference's bit-reversed storage
+    # order: stored[s] == natural[bitrev(s)].
+    from frieda_tpu.core.circle import bitrev_permutation
+
     rng = np.random.default_rng(14)
     for log_size in range(1, 11):
-        n = 1 << log_size
         tw_spec = sc.CircleTwiddles(log_size)
         twiddles = fft.stage_twiddles(log_size)
+        rev = bitrev_permutation(log_size)
         for log_coeffs in {max(log_size - 2, 0), log_size}:
             c = rng.integers(0, P, 1 << log_coeffs, dtype=np.uint32)
-            expect = sc.evaluate_circle_poly(c.astype(np.uint64), tw_spec)
-            got = np.asarray(fft.evaluate(jnp.asarray(c)[None, :], twiddles))[0]
-            assert np.array_equal(got, expect.astype(np.uint32)), (log_size, log_coeffs)
+            expect_stored = sc.evaluate_circle_poly(c.astype(np.uint64), tw_spec)
+            c_rev = fft.bitrev_coeffs(c[None, :])
+            got_nat = np.asarray(fft.evaluate(jnp.asarray(c_rev), twiddles))[0]
+            assert np.array_equal(
+                got_nat[rev], expect_stored.astype(np.uint32)
+            ), (log_size, log_coeffs)
 
 
 def test_fft_twiddle_tables_match_spec():
-    from frieda_tpu.core.circle import get_twiddles
+    # Natural-order tables vs the spec's bit-reversed tables.
+    from frieda_tpu.core.circle import bitrev_permutation, get_twiddles
 
-    for log_size in (1, 2, 5, 8):
+    for log_size in (2, 3, 5, 8):
+        m = log_size - 1
         tw = get_twiddles(log_size)
         tw_spec = sc.CircleTwiddles(log_size)
-        assert np.array_equal(tw.ys, tw_spec.ys.astype(np.uint32))
-        for ours, spec in zip(tw.xs_evens, tw_spec.xs_layers):
-            assert np.array_equal(ours, spec[0::2].astype(np.uint32))
+        assert np.array_equal(tw.ys[bitrev_permutation(m)], tw_spec.ys.astype(np.uint32))
+        for d, spec_layer in enumerate(tw_spec.xs_layers):
+            r = m - d  # log size of spec layer d
+            evens = spec_layer[0::2].astype(np.uint32)  # == L_d[bitrev_{r-1}(k)]
+            if r - 1 >= 0:
+                assert np.array_equal(tw.xs_layers[d][bitrev_permutation(r - 1)], evens)
         # inverses really invert
         assert np.all(tw.ys.astype(np.uint64) * tw.ys_inv % P == 1)
+        for lo, inv in zip(tw.xs_layers, tw.xs_layers_inv):
+            assert np.all(lo.astype(np.uint64) * inv % P == 1)
