@@ -1,4 +1,4 @@
-"""FRI prover and verifier (device folds + host transcript orchestration).
+"""FRI prover and verifier.
 
 TPU-native counterpart of stwo's FriProver/FriVerifier as driven by the
 reference (/root/reference/src/proof.rs:28-101; SURVEY.md B.4 — structure is
@@ -11,17 +11,26 @@ Transcript order (per proof):
   mix_felts(last layer coefficients) -> grind + mix_u64(nonce)
   -> sample query positions in the full domain.
 
-Folds (stwo convention, no division by 2; verifier mirrors):
+Folds (stwo convention, no division by 2; verifier mirrors), in stored-index
+terms — on device the pairs are array halves (natural layout, core/circle.py):
   circle->line: g[k] = (f(p) + f(-p)) + alpha * (f(p) - f(-p)) / y_p,
                 p at stored index 2k
   line:         g'[k] = (g(x) + g(-x)) + alpha * (g(x) - g(-x)) / x,
                 x at stored index 2k; next domain x -> pi(x) = 2x^2 - 1.
 
-The prover folds on device (uint32 QM31 component arrays); the verifier is
-light-client-sized pure host Python (per-query twiddles from core/circle.py).
+Architecture: the ENTIRE commit phase — low-degree extension, every Merkle
+tree, the sequential Fiat-Shamir transcript (core/device_channel.py), all
+folds, the last-layer interpolation, the PoW grind and the query draws — runs
+as ONE jitted device dispatch; the host only dedups queries and assembles the
+proof from one batched decommitment gather. This matters because each
+host<->device round-trip costs milliseconds on remote-attached TPUs, and the
+transcript serializes the layers. The verifier is light-client-sized pure
+host Python (per-query twiddles from core/circle.py).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +43,6 @@ from . import circle as hostcircle
 from . import merkle
 from .channel import Blake2sChannel, sample_query_positions
 from .field import qm31_add, qm31_mul, qm31_mul_m31, qm31_sub
-from .grind import grind
 from .proof import FriLayerProof, FriProof, Proof
 
 P = sf.P
@@ -69,8 +77,125 @@ def _fold_line(evals, alpha, xs_inv):
     return jnp.stack(qm31_add(f0, qm31_mul(a, f1)))
 
 
-def _build_tree(cols, log_len: int) -> merkle.CommitTree:
-    return merkle.CommitTree(merkle._device_levels_jit(cols), log_len)
+def _commit_cols_flat(cols):
+    """Merkle-commit (4, M) natural-order columns fully on device. Returns
+    (flat (8, 2M-1) levels concatenated leaves-first, root (8,))."""
+    lv = merkle.device_levels(cols, cutoff_log=0)
+    flat = jnp.concatenate([jnp.stack(l, axis=0) for l in lv], axis=1)
+    return flat, flat[:, -1]
+
+
+_INV2_M31 = (P + 1) // 2
+
+
+def _device_ifft_line(comps, xs_invs, depth: int):
+    """Device last-layer interpolation: natural-order QM31 components
+    (4-tuple of (M,) arrays) -> (M, 4) natural-order coefficients. Exact
+    inverse of the line-FFT stages (statically unrolled; M is tiny)."""
+    from .field import qm31_add as ja, qm31_mul_m31 as jm, qm31_sub as js
+
+    m = comps[0].shape[0]
+    if m == 1:
+        return jnp.stack([c[0] for c in comps])[None, :]
+    half = m // 2
+    v0 = tuple(c[:half] for c in comps)
+    v1 = tuple(c[half:] for c in comps)
+    inv2 = jnp.uint32(_INV2_M31)
+    s = jm(ja(v0, v1), inv2)
+    d = jm(jm(js(v0, v1), inv2), xs_invs[depth][:half])
+    c0 = _device_ifft_line(s, xs_invs, depth + 1)
+    c1 = _device_ifft_line(d, xs_invs, depth + 1)
+    return jnp.stack([c0, c1], axis=1).reshape(m, 4)
+
+
+@functools.lru_cache(maxsize=8)
+def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
+                   pow_bits: int, has_seed: bool):
+    """Build + jit the single-dispatch FRI commit phase for one config."""
+    from . import device_channel as dc
+    from . import fft
+
+    n = log_size + log_blowup
+    last_log = llb + log_blowup
+    n_inner = n - 1 - last_log
+    bound = 1 << llb
+    twiddles = fft.stage_twiddles(n)
+    tw = hostcircle.get_twiddles(n)
+    ys_inv = jnp.asarray(tw.ys_inv)
+    xs_invs = tuple(jnp.asarray(x) for x in tw.xs_layers_inv)
+
+    def fold_c(evals, alpha):
+        half = evals.shape[1] // 2
+        fp = tuple(evals[i, :half] for i in range(4))
+        fm = tuple(evals[i, half:] for i in range(4))
+        a = tuple(alpha[i] for i in range(4))
+        f1 = qm31_mul_m31(qm31_sub(fp, fm), ys_inv)
+        return jnp.stack(qm31_add(qm31_add(fp, fm), qm31_mul(a, f1)))
+
+    def fold_l(g, alpha, layer):
+        half = g.shape[1] // 2
+        g0 = tuple(g[i, :half] for i in range(4))
+        g1 = tuple(g[i, half:] for i in range(4))
+        a = tuple(alpha[i] for i in range(4))
+        f1 = qm31_mul_m31(qm31_sub(g0, g1), xs_invs[layer])
+        return jnp.stack(qm31_add(qm31_add(g0, g1), qm31_mul(a, f1)))
+
+    def run(coeffs_rev, seed_lo, seed_hi):
+        digest = dc.fresh_digest()
+        if has_seed:
+            digest = dc.dc_mix_u64(digest, seed_lo, seed_hi)
+        evals = fft.evaluate(coeffs_rev, twiddles)
+        flat0, root0 = _commit_cols_flat(evals)
+        digest = dc.dc_mix_digest(digest, root0)
+        alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))
+        g = fold_c(evals, alpha)
+        roots = [root0]
+        tree_flats = [flat0]
+        layer_arrays = []
+        for l in range(n_inner):
+            flat_l, root_l = _commit_cols_flat(g)
+            digest = dc.dc_mix_digest(digest, root_l)
+            alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))
+            roots.append(root_l)
+            tree_flats.append(flat_l)
+            layer_arrays.append(g)
+            g = fold_l(g, alpha, l)
+        coeffs_last = _device_ifft_line(
+            tuple(g[i] for i in range(4)), xs_invs, n_inner
+        )  # (2^last_log, 4)
+        last_poly = coeffs_last[:bound]
+        degree_ok = (
+            jnp.all(coeffs_last[bound:] == 0)
+            if coeffs_last.shape[0] > bound
+            else jnp.asarray(True)
+        )
+        digest = dc.dc_mix_felts(digest, last_poly)
+        nonce = dc.dc_grind(digest, pow_bits)
+        digest = dc.dc_mix_u64(digest, nonce, jnp.uint32(0))
+        qpos, _ = dc.dc_sample_query_words(digest, jnp.uint32(0), n_queries, n)
+        layers_flat = (
+            jnp.concatenate(layer_arrays, axis=1)
+            if layer_arrays
+            else jnp.zeros((4, 1), jnp.uint32)
+        )
+        trees_flat = jnp.concatenate(tree_flats, axis=1)
+        return (
+            evals,
+            layers_flat,
+            trees_flat,
+            jnp.stack(roots),
+            last_poly,
+            degree_ok,
+            nonce,
+            qpos,
+        )
+
+    return jax.jit(run)
+
+
+@jax.jit
+def _gather_all(evals, layers_flat, trees_flat, idx_e, idx_l, idx_t):
+    return evals[:, idx_e], layers_flat[:, idx_l], trees_flat[:, idx_t]
 
 
 # ---------------------------------------------------------------------------
@@ -126,28 +251,99 @@ def _merkle_witness_plans(log_n: int, known_leaves):
     return plans
 
 
-def _gather_qm31(arr, stored_indices, log_len: int) -> list:
-    """arr (4, 2^log_len) device, NATURAL layout; stored_indices are
-    reference-order positions -> list of QM31 tuples."""
-    if not stored_indices:
-        return []
-    nat = [hostcircle.bit_reverse_index(s, log_len) for s in stored_indices]
-    g = np.asarray(jax.device_get(arr[:, jnp.asarray(nat, jnp.int32)]))
-    return [tuple(int(g[c, j]) for c in range(4)) for j in range(len(stored_indices))]
+def _tree_flat_node_offset(log_leaves: int, level: int, stored_idx: int) -> int:
+    """Offset of a node into a tree's flattened level buffer (levels
+    concatenated leaves-first, each level in natural order)."""
+    base = 0
+    m = 1 << log_leaves
+    for _ in range(level):
+        base += m
+        m >>= 1
+    return base + hostcircle.bit_reverse_index(stored_idx, log_leaves - level)
 
 
-def _layer_decommit(arr, tree: merkle.CommitTree, positions, log_len: int) -> FriLayerProof:
-    fri_witness = _gather_qm31(arr, _sibling_indices(positions), log_len)
-    leaves = _all_leaf_indices(positions)
-    plans = _merkle_witness_plans(log_len, leaves)
-    hashes = []
-    for lvl, sibs in enumerate(plans):
-        hashes.extend(tree.gather_nodes(lvl, sibs))
-    return FriLayerProof(
-        fri_witness=fri_witness,
-        decommitment=merkle.MerkleDecommitment(hashes),
-        commitment=tree.root,
-    )
+class _DecommitPlan:
+    """Value-free index planning for one proof's decommitments. Collects flat
+    gather indices for (evals, layers_flat, trees_flat) so the device does
+    exactly one batched gather."""
+
+    def __init__(self, n: int, n_inner: int, queries):
+        self.n = n
+        self.idx_e: list[int] = []
+        self.idx_l: list[int] = []
+        self.idx_t: list[int] = []
+        # spans: (target, start, count) per consumer, in consumption order
+        layer_base = [0]
+        for l in range(n_inner):
+            layer_base.append(layer_base[-1] + (1 << (n - 1 - l)))
+        tree_base = [0]
+        sizes = [n] + [n - 1 - l for l in range(n_inner)]
+        for log_leaves in sizes:
+            tree_base.append(tree_base[-1] + (1 << (log_leaves + 1)) - 1)
+
+        # proof evaluations: queried values from the first layer (evals)
+        self.span_evaluations = self._add(
+            self.idx_e, [hostcircle.bit_reverse_index(q, n) for q in queries]
+        )
+        # per-layer: sibling values + per-level hash witness
+        self.layer_value_spans = []
+        self.layer_hash_spans = []
+        pos = list(queries)
+        for t, log_leaves in enumerate(sizes):
+            sib = _sibling_indices(pos)
+            if t == 0:
+                span = self._add(
+                    self.idx_e,
+                    [hostcircle.bit_reverse_index(s, n) for s in sib],
+                )
+            else:
+                span = self._add(
+                    self.idx_l,
+                    [
+                        layer_base[t - 1]
+                        + hostcircle.bit_reverse_index(s, log_leaves)
+                        for s in sib
+                    ],
+                )
+            self.layer_value_spans.append((t == 0, span))
+            plans = _merkle_witness_plans(log_leaves, _all_leaf_indices(pos))
+            flat_nodes = []
+            for lvl, sibs in enumerate(plans):
+                for s in sibs:
+                    flat_nodes.append(
+                        tree_base[t] + _tree_flat_node_offset(log_leaves, lvl, s)
+                    )
+            self.layer_hash_spans.append(self._add(self.idx_t, flat_nodes))
+            pos = sorted({p >> 1 for p in pos})
+
+    @staticmethod
+    def _add(bucket: list, indices) -> tuple:
+        start = len(bucket)
+        bucket.extend(indices)
+        return (start, len(indices))
+
+
+def _pad_idx(indices: list, bucket: int) -> jnp.ndarray:
+    arr = np.zeros(bucket, np.int32)
+    arr[: len(indices)] = indices
+    return jnp.asarray(arr)
+
+
+def _round_bucket(k: int) -> int:
+    return max(16, 1 << (max(k - 1, 1)).bit_length())
+
+
+def _qm31_list(arr: np.ndarray, span) -> list:
+    start, count = span
+    return [tuple(int(arr[c, start + j]) for c in range(4)) for j in range(count)]
+
+
+def _hash_list(arr: np.ndarray, span) -> list:
+    start, count = span
+    return [
+        b"".join(int(arr[w, start + j]).to_bytes(4, "little") for w in range(8))
+        for j in range(count)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -221,12 +417,16 @@ def _line_x_at(n: int, layer: int, j: int) -> int:
 # ---------------------------------------------------------------------------
 
 def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT_CONFIG):
-    """Returns (commitment_bytes, Proof). Reference: src/proof.rs:32-77."""
-    from ..api import commit_with_tree  # lazy: api imports this module lazily too
+    """Returns (commitment_bytes, Proof). Reference: src/proof.rs:32-77.
+
+    One device dispatch for the whole FRI commit phase, one small fetch of
+    (roots, last layer, nonce, query words), one batched decommitment gather.
+    """
+    from . import fft
 
     fri_cfg = pcs_config.fri_config
-    coeffs_shape = polynomial_from_bytes(data)
-    log_size = ceil_log2(coeffs_shape.shape[1])
+    coeffs = polynomial_from_bytes(data)
+    log_size = ceil_log2(coeffs.shape[1])
     n = log_size + fri_cfg.log_blowup_factor
     last_log = fri_cfg.log_last_layer_degree_bound + fri_cfg.log_blowup_factor
     n_inner = n - 1 - last_log
@@ -236,62 +436,72 @@ def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT
             f"{fri_cfg.log_last_layer_degree_bound} >= poly log size {log_size}"
         )
 
-    channel = Blake2sChannel()
-    if seed is not None:
-        channel.mix_u64(seed)
+    fn = _fri_commit_fn(
+        log_size,
+        fri_cfg.log_blowup_factor,
+        fri_cfg.log_last_layer_degree_bound,
+        fri_cfg.n_queries,
+        pcs_config.pow_bits,
+        seed is not None,
+    )
+    seed_val = 0 if seed is None else int(seed) & ((1 << 64) - 1)
+    coeffs_rev = jnp.asarray(fft.bitrev_coeffs(coeffs))
+    (evals, layers_flat, trees_flat, roots_arr, last_poly, degree_ok, nonce,
+     qpos) = fn(
+        coeffs_rev,
+        jnp.uint32(seed_val & 0xFFFFFFFF),
+        jnp.uint32(seed_val >> 32),
+    )
 
-    root, evals, first_tree, _ = commit_with_tree(data, fri_cfg.log_blowup_factor)
-    channel.mix_digest(root)
-    alpha = channel.draw_felt()
+    roots_np, last_np, ok_np, nonce_np, qpos_np = jax.device_get(
+        (roots_arr, last_poly, degree_ok, nonce, qpos)
+    )
+    if not bool(ok_np):
+        raise AssertionError("FRI last layer exceeds degree bound (internal bug)")
+    queries = sorted({int(q) for q in np.asarray(qpos_np)})
+    nonce = int(nonce_np)
+    roots = [
+        b"".join(int(w).to_bytes(4, "little") for w in roots_np[t])
+        for t in range(roots_np.shape[0])
+    ]
+    last_layer_poly = [
+        tuple(int(v) for v in last_np[j]) for j in range(last_np.shape[0])
+    ]
 
-    tw = hostcircle.get_twiddles(n)
-    g = _fold_circle(evals, jnp.asarray(alpha, jnp.uint32), jnp.asarray(tw.ys_inv))
+    # --- decommitments: plan on host, gather once on device ---
+    plan = _DecommitPlan(n, n_inner, queries)
+    ge, gl, gt = _gather_all(
+        evals,
+        layers_flat,
+        trees_flat,
+        _pad_idx(plan.idx_e, _round_bucket(len(plan.idx_e))),
+        _pad_idx(plan.idx_l, _round_bucket(len(plan.idx_l))),
+        _pad_idx(plan.idx_t, _round_bucket(len(plan.idx_t))),
+    )
+    ge, gl, gt = (np.asarray(x) for x in jax.device_get((ge, gl, gt)))
 
-    inner_layers_state = []  # (array, tree)
-    for l in range(n_inner):
-        tree_l = _build_tree(g, n - 1 - l)
-        channel.mix_digest(tree_l.root)
-        alpha_l = channel.draw_felt()
-        inner_layers_state.append((g, tree_l))
-        g = _fold_line(
-            g, jnp.asarray(alpha_l, jnp.uint32), jnp.asarray(tw.xs_layers_inv[l])
+    evaluations = _qm31_list(ge, plan.span_evaluations)
+    layers = []
+    for t in range(n_inner + 1):
+        from_evals, vspan = plan.layer_value_spans[t]
+        fri_witness = _qm31_list(ge if from_evals else gl, vspan)
+        hashes = _hash_list(gt, plan.layer_hash_spans[t])
+        layers.append(
+            FriLayerProof(
+                fri_witness=fri_witness,
+                decommitment=merkle.MerkleDecommitment(hashes),
+                commitment=roots[t],
+            )
         )
 
-    # Last layer: interpolate (natural order), check degree, truncate, mix.
-    last_arr = np.asarray(jax.device_get(g))
-    last_vals = [tuple(int(last_arr[c, j]) for c in range(4)) for j in range(last_arr.shape[1])]
-    # (last_arr is already in the natural order _ifft_line consumes)
-    coeffs_last = _ifft_line(last_vals, tw, n_inner)
-    bound = 1 << fri_cfg.log_last_layer_degree_bound
-    if any(c != sf.QM31_ZERO for c in coeffs_last[bound:]):
-        raise AssertionError("FRI last layer exceeds degree bound (internal bug)")
-    last_layer_poly = coeffs_last[:bound]
-    channel.mix_felts(last_layer_poly)
-
-    # Proof of work + query sampling.
-    nonce = grind(channel, pcs_config.pow_bits)
-    channel.mix_u64(nonce)
-    queries = sample_query_positions(channel, n, fri_cfg.n_queries)
-
-    # Queried evaluations (the DAS payload; src/proof.rs:63-66).
-    evaluations = _gather_qm31(evals, queries, n)
-
-    # Decommitments.
-    first_layer = _layer_decommit(evals, first_tree, queries, n)
-    pos = sorted({q >> 1 for q in queries})
-    inner_layers = []
-    for l, (arr, tree_l) in enumerate(inner_layers_state):
-        inner_layers.append(_layer_decommit(arr, tree_l, pos, n - 1 - l))
-        pos = sorted({p >> 1 for p in pos})
-
     proof = Proof(
-        proof=FriProof(first_layer, inner_layers, last_layer_poly),
+        proof=FriProof(layers[0], layers[1:], last_layer_poly),
         proof_of_work=nonce,
         pcs_config=pcs_config,
         log_size_bound=log_size,
         evaluations=evaluations,
     )
-    return root, proof
+    return roots[0], proof
 
 
 # ---------------------------------------------------------------------------
