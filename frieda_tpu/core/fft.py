@@ -61,6 +61,14 @@ def evaluate(coeffs_rev: jnp.ndarray, twiddles) -> jnp.ndarray:
     blowup) happens here as a free dilation.
     twiddles: stage_twiddles(n). Returns (C, 2^n) uint32 evaluations in
     natural domain order.
+
+    Four-step structure: the first k = n//2 stages touch only the low k index
+    bits (sub-lane strides), so they run on a transposed (C, 2^k, 2^(n-k))
+    view where those bits are the *major* axis — every op then has a long
+    contiguous minor dimension. The remaining stages have block sizes
+    >= 2^k and run in the flat layout. Two tiled transposes replace ~n/2
+    lane-interleave relayouts (a huge win in both XLA compile time and HBM
+    efficiency).
     """
     n = len(twiddles)
     C, L_len = coeffs_rev.shape
@@ -73,7 +81,25 @@ def evaluate(coeffs_rev: jnp.ndarray, twiddles) -> jnp.ndarray:
         w = w.at[:, :, 0].set(coeffs_rev).reshape(C, N)
     else:
         w = coeffs_rev
-    for d in range(n - 1, -1, -1):
+    start = n - 1
+    if n >= 10:
+        k = n // 2
+        blk = 1 << k
+        nb = N // blk
+        wt = w.reshape(C, nb, blk).transpose(0, 2, 1)  # (C, blk, nb)
+        for d in range(n - 1, n - 1 - k, -1):
+            e = 1 << (n - 1 - d)  # e < blk: within-block stage
+            rows = blk // (2 * e)
+            wv = wt.reshape(C, rows, 2, e, nb)
+            g0 = wv[:, :, 0]
+            g1 = wv[:, :, 1]
+            t = m31_mul(twiddles[d][None, None, :, None], g1)
+            wt = jnp.stack([m31_add(g0, t), m31_sub(g0, t)], axis=2).reshape(
+                C, blk, nb
+            )
+        w = wt.transpose(0, 2, 1).reshape(C, N)
+        start = n - 1 - k
+    for d in range(start, -1, -1):
         e = 1 << (n - 1 - d)  # block (and twiddle) size
         wv = w.reshape(C, 1 << d, 2, e)
         g0 = wv[:, :, 0, :]

@@ -75,6 +75,13 @@ def grind_device(channel: Blake2sChannel, pow_bits: int, batch: int = 1 << 20) -
 
 
 def grind_host(channel: Blake2sChannel, pow_bits: int) -> int:
+    try:  # native scalar grind (bit-exact; tests/test_native.py)
+        from .. import native
+
+        if native.available():
+            return native.grind(channel.digest, pow_bits)
+    except Exception:
+        pass
     nonce = 0
     while True:
         c = channel.clone()

@@ -15,6 +15,13 @@ import numpy as np
 
 
 def bytes_to_felts(data: bytes) -> np.ndarray:
+    try:  # native fast path (bit-exact; tests/test_native.py)
+        from .. import native
+
+        if native.available():
+            return native.bytes_to_felts(data)
+    except Exception:
+        pass
     n_bits = 8 * len(data)
     n_felts = -(-n_bits // 30)
     if n_felts == 0:
