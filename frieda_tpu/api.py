@@ -27,7 +27,7 @@ Commitment = bytes  # 32-byte Merkle root ([u8; 32] in the reference)
 @functools.partial(jax.jit, static_argnums=())
 def _commit_pipeline(coeffs, twiddles):
     """coeffs (4, 2^L) -> (evals (4, 2^n), wide device merkle levels)."""
-    evals = fft.evaluate(coeffs, twiddles)
+    evals = fft.evaluate_auto(coeffs, twiddles)
     dlevels = merkle.device_levels(evals)
     return evals, dlevels
 

@@ -74,31 +74,35 @@ def evaluate(coeffs_rev: jnp.ndarray, twiddles) -> jnp.ndarray:
     C, L_len = coeffs_rev.shape
     N = 1 << n
     assert L_len <= N and N % L_len == 0
+    log_l = L_len.bit_length() - 1
+    # Zero-extension shortcut: the dilated vector's first (n - L) stages are
+    # pure copies (the odd child polynomial is zero), so their composition is
+    # exactly "broadcast each coefficient over its 2^(n-L) dilation block".
     if L_len < N:
-        # natural zero-extension == dilation of the bit-reversed vector:
-        # rev_n(j) = rev_L(j) << (n - L) for j < 2^L.
-        w = jnp.zeros((C, L_len, N // L_len), jnp.uint32)
-        w = w.at[:, :, 0].set(coeffs_rev).reshape(C, N)
+        w = jnp.broadcast_to(
+            coeffs_rev[:, :, None], (C, L_len, N // L_len)
+        ).reshape(C, N)
     else:
         w = coeffs_rev
-    start = n - 1
-    if n >= 10:
+    start = min(n - 1, log_l - 1)  # log_l == 0: constant poly, no stages
+    if n >= 10 and start > 0:
         k = n // 2
         blk = 1 << k
         nb = N // blk
-        wt = w.reshape(C, nb, blk).transpose(0, 2, 1)  # (C, blk, nb)
-        for d in range(n - 1, n - 1 - k, -1):
-            e = 1 << (n - 1 - d)  # e < blk: within-block stage
-            rows = blk // (2 * e)
-            wv = wt.reshape(C, rows, 2, e, nb)
-            g0 = wv[:, :, 0]
-            g1 = wv[:, :, 1]
-            t = m31_mul(twiddles[d][None, None, :, None], g1)
-            wt = jnp.stack([m31_add(g0, t), m31_sub(g0, t)], axis=2).reshape(
-                C, blk, nb
-            )
-        w = wt.transpose(0, 2, 1).reshape(C, N)
-        start = n - 1 - k
+        if start > n - 1 - k:
+            wt = w.reshape(C, nb, blk).transpose(0, 2, 1)  # (C, blk, nb)
+            for d in range(start, n - 1 - k, -1):
+                e = 1 << (n - 1 - d)  # e < blk: within-block stage
+                rows = blk // (2 * e)
+                wv = wt.reshape(C, rows, 2, e, nb)
+                g0 = wv[:, :, 0]
+                g1 = wv[:, :, 1]
+                t = m31_mul(twiddles[d][None, None, :, None], g1)
+                wt = jnp.stack([m31_add(g0, t), m31_sub(g0, t)], axis=2).reshape(
+                    C, blk, nb
+                )
+            w = wt.transpose(0, 2, 1).reshape(C, N)
+        start = min(start, n - 1 - k)
     for d in range(start, -1, -1):
         e = 1 << (n - 1 - d)  # block (and twiddle) size
         wv = w.reshape(C, 1 << d, 2, e)
@@ -107,6 +111,24 @@ def evaluate(coeffs_rev: jnp.ndarray, twiddles) -> jnp.ndarray:
         t = m31_mul(twiddles[d][None, None, :], g1)
         w = jnp.stack([m31_add(g0, t), m31_sub(g0, t)], axis=2).reshape(C, N)
     return w
+
+
+def evaluate_auto(coeffs_rev: jnp.ndarray, twiddles) -> jnp.ndarray:
+    """evaluate(), but on TPU use the fused Pallas kernels
+    (ops/fft_pallas.py) when the shape allows — 4 HBM passes instead of ~n.
+    Sharded/SPMD callers should use evaluate() (Pallas kernels don't
+    auto-partition)."""
+    n = len(twiddles)
+    k = n // 2
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and n >= 14 and (1 << k) >= 128 and (1 << (n - k)) >= 128:
+        from ..ops.fft_pallas import evaluate_fused
+
+        return evaluate_fused(coeffs_rev, n)
+    return evaluate(coeffs_rev, twiddles)
 
 
 def evaluate_jit(coeffs_rev: jnp.ndarray, log_domain_size: int) -> jnp.ndarray:

@@ -81,7 +81,7 @@ def _commit_cols_flat(cols):
     """Merkle-commit (4, M) natural-order columns fully on device. Returns
     (flat (8, 2M-1) levels concatenated leaves-first, root (8,))."""
     lv = merkle.device_levels(cols, cutoff_log=0)
-    flat = jnp.concatenate([jnp.stack(l, axis=0) for l in lv], axis=1)
+    flat = jnp.concatenate(lv, axis=1)
     return flat, flat[:, -1]
 
 
@@ -144,7 +144,7 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         digest = dc.fresh_digest()
         if has_seed:
             digest = dc.dc_mix_u64(digest, seed_lo, seed_hi)
-        evals = fft.evaluate(coeffs_rev, twiddles)
+        evals = fft.evaluate_auto(coeffs_rev, twiddles)
         flat0, root0 = _commit_cols_flat(evals)
         digest = dc.dc_mix_digest(digest, root0)
         alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))

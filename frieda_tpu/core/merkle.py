@@ -35,6 +35,13 @@ from .blake2s import compress_batch
 HOST_CUTOFF_LOG = 6  # finish the tree on host once a level has <= 64 nodes
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def device_levels(columns: jnp.ndarray, cutoff_log: int = HOST_CUTOFF_LOG):
     """Wide hash levels on device. columns: (4, N) uint32 in NATURAL domain
     order (core/circle.py layout note). In natural order the reference's
@@ -43,18 +50,31 @@ def device_levels(columns: jnp.ndarray, cutoff_log: int = HOST_CUTOFF_LOG):
     the produced level is the stored-order node bitrev(j) (pure host index
     math; see CommitTree.gather_nodes).
 
-    Returns levels leaves-first (each a list of 8 uint32 (m,) arrays),
-    stopping once a level has <= 2^cutoff_log nodes."""
+    Wide levels use the Pallas kernels (ops/merkle_pallas.py) on TPU; narrow
+    levels and other backends use the fori-loop jnp compression.
+
+    Returns levels leaves-first as (8, m) uint32 arrays, stopping once a
+    level has <= 2^cutoff_log nodes."""
+    from ..ops import merkle_pallas
+    from .blake2s import compress_rows
+
     assert columns.shape[0] == 4
     n = columns.shape[1]
-    zero = jnp.zeros((n,), jnp.uint32)
-    msg = [columns[i] for i in range(4)] + [zero] * 12
-    level = compress_batch(msg)
+    pallas_ok = _use_pallas()
+    block = merkle_pallas.BLOCK
+    if pallas_ok and n % block == 0:
+        level = merkle_pallas.leaf_level(columns, block)
+    else:
+        msg = jnp.concatenate([columns, jnp.zeros((12, n), jnp.uint32)], axis=0)
+        level = compress_rows(msg)
     levels = [level]
-    while level[0].shape[0] > max(1 << cutoff_log, 1):
-        half = level[0].shape[0] // 2
-        msg = [w[:half] for w in level] + [w[half:] for w in level]
-        level = compress_batch(msg)
+    while level.shape[1] > max(1 << cutoff_log, 1):
+        half = level.shape[1] // 2
+        if pallas_ok and half % block == 0:
+            level = merkle_pallas.inner_level(level, block)
+        else:
+            msg = jnp.concatenate([level[:, :half], level[:, half:]], axis=0)
+            level = compress_rows(msg)
         levels.append(level)
     return levels
 
@@ -78,7 +98,7 @@ class CommitTree:
     def __init__(self, dlevels, log_n_leaves: int):
         self.dlevels = dlevels
         self.log_n_leaves = log_n_leaves
-        top = np.asarray(jax.device_get(jnp.stack(dlevels[-1])))
+        top = np.asarray(jax.device_get(dlevels[-1]))
         self.hlevels = host_levels_from(top)
         root_words = self.hlevels[-1][:, 0] if self.hlevels else top[:, 0]
         self.root = b"".join(int(w).to_bytes(4, "little") for w in root_words)
@@ -97,9 +117,8 @@ class CommitTree:
 
         nat = [bit_reverse_index(s, log_m) for s in stored_indices]
         if level < len(self.dlevels):
-            lv = self.dlevels[level]
             idx = jnp.asarray(nat, jnp.int32)
-            g = np.asarray(jax.device_get(jnp.stack([w[idx] for w in lv])))
+            g = np.asarray(jax.device_get(self.dlevels[level][:, idx]))
         else:
             g = self.hlevels[level - len(self.dlevels)][:, nat]
         return [

@@ -50,7 +50,7 @@ def make_mesh(n_data: int | None = None, n_elem: int | None = None, devices=None
 def _root_words(evals):
     """Device-only Merkle root words (8,) of a (4, N) evaluation table."""
     levels = merkle.device_levels(evals, cutoff_log=0)
-    return jnp.stack([w[0] for w in levels[-1]])
+    return levels[-1][:, 0]
 
 
 def das_prover_step(coeffs, twiddles, ys_inv, xs_inv0, alpha0, alpha1):
@@ -107,6 +107,34 @@ def batched_prover_step(coeffs_b: jnp.ndarray, log_domain: int, mesh: Mesh):
     sharding = NamedSharding(mesh, P("data", None, "elem"))
     coeffs_b = jax.device_put(coeffs_b, sharding)
     return _batched_step(coeffs_b, consts, mesh)
+
+
+def commit_roots_batch(datas, log_blowup_factor: int, mesh: Mesh) -> list:
+    """Data-parallel commit of a batch of equal-shaped blobs. One device
+    dispatch, one fetch; returns a list of 32-byte roots (bit-exact with
+    api.commit per blob)."""
+    from ..utils.packing import ceil_log2, polynomial_from_bytes
+
+    coeffs = [polynomial_from_bytes(d) for d in datas]
+    shapes = {c.shape for c in coeffs}
+    assert len(shapes) == 1, "batch must share a padded size"
+    log_domain = ceil_log2(coeffs[0].shape[1]) + log_blowup_factor
+    coeffs_rev = jnp.asarray(
+        np.stack([fft.bitrev_coeffs(c) for c in coeffs])
+    )
+    twiddles = fft.stage_twiddles(log_domain)
+    sharding = NamedSharding(mesh, P("data", None, "elem"))
+    coeffs_rev = jax.device_put(coeffs_rev, sharding)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(c, tw):
+        return jax.vmap(lambda cc: _root_words(fft.evaluate(cc, tw)))(c)
+
+    words = np.asarray(jax.device_get(run(coeffs_rev, twiddles)))
+    return [
+        b"".join(int(w).to_bytes(4, "little") for w in words[i])
+        for i in range(words.shape[0])
+    ]
 
 
 def sharded_commit_root(coeffs: jnp.ndarray, log_domain: int, mesh: Mesh):
