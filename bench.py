@@ -11,7 +11,8 @@ stwo's single-threaded scalar CpuBackend commit throughput, ~2.5e6 felts/s
 (O(N log N) scalar circle FFT + ~100ns/blake2s-compress Merkle; the
 BASELINE.json target is >= 10x that at 2^24-element scale).
 
-Extra context (timings for each size + proof gen/verify) goes to stderr.
+Extra context (per-phase breakdown, roofline fractions, proof gen/verify
+timings) goes to stderr.
 """
 
 import json
@@ -37,17 +38,52 @@ def synthetic_data(n_bytes: int) -> bytes:
 
 
 def bench_commit(log_felts: int, log_blowup: int = 4, iters: int = 5):
-    """End-to-end commit (bytes -> root) wall time; returns felts/sec."""
+    """End-to-end commit (bytes -> root) wall time; returns felts/sec.
+
+    Also logs a phase breakdown (host ingest / device pipeline / tree top)
+    and the HBM roofline fraction of the device portion.
+    """
+    import jax.numpy as jnp
+
     from frieda_tpu import api
+    from frieda_tpu.core import fft, merkle
+    from frieda_tpu.utils.packing import ceil_log2, polynomial_from_bytes
+    from frieda_tpu.utils.profiling import commit_roofline
 
     n_bytes = (1 << log_felts) * 30 // 8
     data = synthetic_data(n_bytes)
     n_felts = 1 << log_felts
+
     api.commit(data, log_blowup)  # warm up / compile
     t0 = time.perf_counter()
     for _ in range(iters):
         api.commit(data, log_blowup)
     dt = (time.perf_counter() - t0) / iters
+
+    # phase breakdown (separate pass; informational only)
+    t0 = time.perf_counter()
+    coeffs = polynomial_from_bytes(data)
+    crev = fft.bitrev_coeffs(coeffs)
+    t_host = time.perf_counter() - t0
+    n = ceil_log2(coeffs.shape[1]) + log_blowup
+    tw = fft.stage_twiddles(n)
+    crev_d = jnp.asarray(crev)
+    crev_d.block_until_ready()
+    _, dlv = api._commit_pipeline(crev_d, tw)  # warm
+    jax.block_until_ready(dlv)
+    t0 = time.perf_counter()
+    _, dlv = api._commit_pipeline(crev_d, tw)
+    jax.block_until_ready(dlv)
+    t_dev = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    merkle.CommitTree(dlv, n)
+    t_top = time.perf_counter() - t0
+    rf = commit_roofline(n, t_dev)
+    log(
+        f"  breakdown 2^{log_felts}: host ingest {t_host*1e3:.1f} ms, device "
+        f"pipeline {t_dev*1e3:.1f} ms ({rf['achieved_gbps']:.0f} GB/s, "
+        f"{rf['sol_fraction']*100:.0f}% of HBM SoL), tree top {t_top*1e3:.1f} ms"
+    )
     return n_felts / dt, dt
 
 
@@ -69,6 +105,7 @@ def main():
         from frieda_tpu.config import DEFAULT_CONFIG
 
         data = synthetic_data(262146)
+        api.commit_and_prove(data, len(data), DEFAULT_CONFIG)  # warm up / compile
         t0 = time.perf_counter()
         _, proof = api.commit_and_prove(data, len(data), DEFAULT_CONFIG)
         t_prove = time.perf_counter() - t0

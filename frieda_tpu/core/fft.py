@@ -119,15 +119,16 @@ def evaluate_auto(coeffs_rev: jnp.ndarray, twiddles) -> jnp.ndarray:
     Sharded/SPMD callers should use evaluate() (Pallas kernels don't
     auto-partition)."""
     n = len(twiddles)
-    k = n // 2
+    log_l = int(coeffs_rev.shape[-1]).bit_length() - 1
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    if on_tpu and n >= 14 and (1 << k) >= 128 and (1 << (n - k)) >= 128:
-        from ..ops.fft_pallas import evaluate_fused
+    if on_tpu:
+        from ..ops import fft_pallas
 
-        return evaluate_fused(coeffs_rev, n)
+        if fft_pallas.supported(n, log_l):
+            return fft_pallas.evaluate_fused(coeffs_rev, n)
     return evaluate(coeffs_rev, twiddles)
 
 

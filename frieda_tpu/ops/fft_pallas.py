@@ -1,27 +1,37 @@
-"""Fused Pallas circle-FFT kernels.
+"""Fused Pallas circle-FFT kernels (bounded-VMEM multi-pass).
 
 The XLA stage loop (core/fft.py) costs one full HBM pass per butterfly stage.
-These kernels fuse all stages of each four-step phase into a single pass:
+These kernels fuse *groups* of stages into single passes, with every group's
+working set bounded so Mosaic never exceeds the ~16 MB VMEM scoped limit at
+any domain size (the previous two-phase four-step blew past it at 2^22+).
 
-  phase A — the low-bit stages, on the transposed (C, blk, nb) view: each
-            grid step holds an entire (blk, LANES) tile in VMEM and runs all
-            its stages in-register. Twiddles are lane-invariant (blk,1)
-            tables tiled per stage.
-  phase B — the high-bit stages on the natural (C, nb, blk) view: the same
-            roll-based butterfly along the nb (sublane) axis; twiddles vary
-            along lanes, so each stage's table is BlockSpec-sliced per chunk.
+Stage model (core/fft.py): stage at bit position p pairs flat indices j and
+j ^ 2^p with twiddle t[j] = T_p[j mod 2^p]; executed p's run p_min..n-1 where
+p_min = n - log_l (lower bits are the free Reed-Solomon dilation broadcast).
+Butterfly without reshapes (Mosaic-friendly), combine distance e along an
+axis:
 
-Butterfly without reshapes (Mosaic-friendly): for combine distance e along
-the sublane axis,
+  out[j] = x[j] + t[j] * x[j+e]      where (j & e) == 0
+  out[j] = x[j-e] - t[j] * x[j]      where (j & e) != 0
 
-  out[j] = x[j] + t[j] * x[j+e]      where (j & e) == 0   (g0 rows)
-  out[j] = x[j-e] - t[j] * x[j]      where (j & e) != 0   (g1 rows)
+— the partner reads are cyclic rolls by ±e (wrap lanes never selected).
 
-with t[j] = T_d[j mod e] — the two partner reads are cyclic rolls by ±e
-(wrap-around lanes are never selected).
+Pass types:
+  low pass  — bits [p_min, c0), c0 <= LOW_BITS_MAX: runs on the transposed
+              (C, 2^c0, N/2^c0) view so sub-lane strides become the sublane
+              axis; twiddles are lane-invariant (rows, 1) tables.
+  mid pass  — bits [b, c), 2^b >= LANES: runs on the natural
+              (C, hi, 2^(c-b), 2^b) view; butterflies go along the mid axis,
+              lanes are low bits; each stage's table is (rows, LANES)
+              BlockSpec-sliced per lane chunk and broadcast up the mid axis.
 
-Whole transform: transpose, phase A, transpose, phase B — 4 HBM passes
-instead of ~n. Bit-exact with core/fft.evaluate (tests/test_fft_pallas.py).
+Group widths are capped (GROUP_BITS_MAX) so a block is at most
+(2^GROUP_BITS_MAX, LANES) u32 = 512 KB; with ~8 live temporaries per
+butterfly plus twiddle tables a pass stays well under 8 MB of VMEM.
+
+Whole transform at n=24: transpose, low pass, transpose, two mid passes —
+~6 HBM passes instead of ~24. Bit-exact with core/fft.evaluate
+(tests/test_fft_pallas.py).
 """
 
 from __future__ import annotations
@@ -38,155 +48,199 @@ from ..core import circle as hostcircle
 from ..core.field import m31_add, m31_mul, m31_sub
 
 LANES = 128
+GROUP_BITS_MAX = 10   # butterfly axis <= 1024 rows per pass
+LOW_BITS_MAX = 10     # transposed low pass covers bits [p_min, min(10, ...))
 
 
-def _butterfly(x, t, e: int):
-    """One in-VMEM butterfly stage along the sublane axis (x: (1, M, LANES),
-    combine distance e along axis 1)."""
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+def _butterfly_2d(x, t, e: int):
+    """One in-VMEM butterfly along the sublane axis. x: (M, LANES), combine
+    distance e rows; t: (M, LANES) or (M, 1) twiddles (already expanded)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     mask = (idx & e) == 0
-    up = jnp.roll(x, -e, axis=1)
-    dn = jnp.roll(x, e, axis=1)
+    up = jnp.roll(x, -e, axis=0)
+    dn = jnp.roll(x, e, axis=0)
     a = m31_add(x, m31_mul(t, up))
     b = m31_sub(dn, m31_mul(t, x))
     return jnp.where(mask, a, b)
 
 
-def _phase_a_kernel_factory(stage_list):
-    """stage_list: [(e, tw_input_index), ...] — e in elements along blk."""
+def _low_kernel_factory(stage_rows):
+    """Transposed low pass. stage_rows: (e_rows, ...) per stage; twiddle
+    tables are (blk, 1) lane-invariant inputs following x_ref."""
 
     def kernel(x_ref, *refs):
         out_ref = refs[-1]
-        x = x_ref[:]  # (1, blk, LANES)
-        for e, ti in stage_list:
-            t = refs[ti][:, :][None]  # (1, blk, 1), lane-invariant
-            x = _butterfly(x, t, e)
-        out_ref[:] = x
+        x = x_ref[0]  # (blk, LANES)
+        for i, e in enumerate(stage_rows):
+            x = _butterfly_2d(x, refs[i][:, :], e)
+        out_ref[0] = x
 
     return kernel
 
 
-def _phase_b_kernel_factory(stage_list):
-    """stage_list: [(e_rows, tw_input_index, reps), ...]."""
+def _mid_kernel_factory(stage_list):
+    """Natural-layout mid pass. stage_list: [(rows, reps), ...]; tables are
+    (rows, LANES) inputs following x_ref, broadcast `reps` times up the mid
+    axis."""
 
     def kernel(x_ref, *refs):
         out_ref = refs[-1]
-        x = x_ref[:]  # (1, nb, LANES)
-        for e_rows, ti, reps in stage_list:
-            tw = refs[ti][:, :]  # (e_rows, LANES)
+        x = x_ref[0, 0]  # (mid, LANES)
+        mid = x.shape[0]
+        for i, (rows, reps) in enumerate(stage_list):
+            tw = refs[i][:, :]  # (rows, LANES)
             if reps > 1:
-                t = jnp.broadcast_to(
-                    tw[None], (reps, e_rows, LANES)
-                ).reshape(reps * e_rows, LANES)
+                t = jnp.broadcast_to(tw[None], (reps, rows, LANES)).reshape(
+                    mid, LANES
+                )
             else:
                 t = tw
-            x = _butterfly(x, t[None], e_rows)
-        out_ref[:] = x
+            x = _butterfly_2d(x, t, rows)
+        out_ref[0, 0] = x
 
     return kernel
 
 
-@functools.lru_cache(maxsize=32)
-def _phase_plans(n: int, log_l: int):
-    """Static plan shared by both phases: which stages run where."""
-    k = n // 2
-    start = min(n - 1, log_l - 1)
-    a_stages = [d for d in range(start, n - 1 - k, -1)] if start > n - 1 - k else []
-    b_start = min(start, n - 1 - k)
-    b_stages = list(range(b_start, -1, -1))
-    return k, a_stages, b_stages
+@functools.lru_cache(maxsize=64)
+def _pass_plan(n: int, log_l: int):
+    """Group the executed stage bits [p_min, n) into a low pass + mid passes.
+
+    Returns (p_min, c0, mid_groups) where mid_groups is a tuple of (b, c)
+    half-open bit ranges. c0 == p_min means no low pass."""
+    p_min = n - log_l if log_l > 0 else n  # log_l == 0: no butterflies
+    if p_min >= n:
+        return p_min, p_min, ()
+    if p_min < 7:
+        # low-pass lane axis is N / 2^c0: keep it >= LANES (c0 <= n - 7)
+        c0 = min(LOW_BITS_MAX, n - 7)
+    else:
+        c0 = p_min  # all executed bits already have lo >= 128: no low pass
+    groups = []
+    b = c0
+    while b < n:
+        c = min(b + GROUP_BITS_MAX, n)
+        # avoid a tiny trailing group: balance the last two
+        if c < n and n - c < 3:
+            c = (b + n + 1) // 2
+        groups.append((b, c))
+        b = c
+    return p_min, c0, tuple(groups)
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=64)
 def _twiddle_tables(n: int, log_l: int):
+    """Device twiddle tables per pass. Low pass: [(blk, 1)] per stage.
+    Mid groups: [[(rows, lo)] per stage] (BlockSpec slices lanes)."""
     tw = hostcircle.get_twiddles(n)
-    k, a_stages, b_stages = _phase_plans(n, log_l)
-    blk = 1 << k
-    nb = 1 << (n - k)
-    a_tabs = []
-    for d in a_stages:
-        e = 1 << (n - 1 - d)
-        tab = np.tile(np.asarray(tw.eval_stage_twiddle(d)), blk // e)
-        a_tabs.append(jnp.asarray(tab.reshape(blk, 1)))
-    b_tabs = []
-    for d in b_stages:
-        size = 1 << (n - 1 - d)
-        e_rows = max(size // blk, 1)
-        tab = np.asarray(tw.eval_stage_twiddle(d))
-        if size < blk:  # only possible for tiny n; tile across blk
-            tab = np.tile(tab, blk // size)
-        b_tabs.append(jnp.asarray(tab.reshape(e_rows, blk)))
-    return a_tabs, b_tabs
+    p_min, c0, groups = _pass_plan(n, log_l)
+
+    def table(p):  # natural-order twiddles for distance-2^p stage, length 2^p
+        return np.asarray(tw.eval_stage_twiddle(n - 1 - p))
+
+    low_tabs = []
+    if c0 > p_min:
+        blk = 1 << c0
+        for p in range(p_min, c0):
+            tab = np.tile(table(p), blk >> p)  # (blk,), lane-invariant
+            low_tabs.append(jnp.asarray(tab.reshape(blk, 1)))
+    mid_tabs = []
+    for b, c in groups:
+        lo = 1 << b
+        tabs = []
+        for p in range(b, c):
+            tabs.append(jnp.asarray(table(p).reshape(1 << (p - b), lo)))
+        mid_tabs.append(tabs)
+    return low_tabs, mid_tabs
+
+
+def _run_low_pass(w, n, p_min, c0, low_tabs, interpret):
+    C = w.shape[0]
+    N = 1 << n
+    blk = 1 << c0
+    nb = N // blk
+    wt = w.reshape(C, nb, blk).transpose(0, 2, 1)  # (C, blk, nb)
+    stage_rows = tuple(1 << p for p in range(p_min, c0))
+    kern = _low_kernel_factory(stage_rows)
+    wt = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((C, blk, nb), jnp.uint32),
+        grid=(C, nb // LANES),
+        in_specs=[
+            pl.BlockSpec((1, blk, LANES), lambda c, i: (c, 0, i),
+                         memory_space=pltpu.VMEM)
+        ]
+        + [
+            pl.BlockSpec((blk, 1), lambda c, i: (0, 0), memory_space=pltpu.VMEM)
+            for _ in stage_rows
+        ],
+        out_specs=pl.BlockSpec((1, blk, LANES), lambda c, i: (c, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(wt, *low_tabs)
+    return wt.transpose(0, 2, 1).reshape(C, N)
+
+
+def _run_mid_pass(w, n, b, c, tabs, interpret):
+    C = w.shape[0]
+    N = 1 << n
+    lo = 1 << b
+    mid = 1 << (c - b)
+    hi = N // (lo * mid)
+    wb = w.reshape(C, hi, mid, lo)
+    # (rows, reps) with reps = mid // rows
+    stage_list = tuple((1 << (p - b), mid // (1 << (p - b))) for p in range(b, c))
+    kern = _mid_kernel_factory(stage_list)
+    in_specs = [
+        pl.BlockSpec((1, 1, mid, LANES), lambda cc, h, i: (cc, h, 0, i),
+                     memory_space=pltpu.VMEM)
+    ]
+    for p in range(b, c):
+        rows = 1 << (p - b)
+        in_specs.append(
+            pl.BlockSpec((rows, LANES), lambda cc, h, i: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+    wb = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((C, hi, mid, lo), jnp.uint32),
+        grid=(C, hi, lo // LANES),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, mid, LANES), lambda cc, h, i: (cc, h, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(wb, *tabs)
+    return wb.reshape(C, N)
+
+
+def supported(n: int, log_l: int) -> bool:
+    """Shapes the fused path handles (callers fall back to the stage loop)."""
+    if log_l <= 0 or n < 14:
+        return False
+    p_min, c0, groups = _pass_plan(n, log_l)
+    if p_min < 7 and c0 <= p_min:  # tiny poly, huge blowup: no valid low pass
+        return False
+    if c0 > p_min and (1 << n) // (1 << c0) < LANES:
+        return False
+    return all((1 << b) >= LANES for b, _ in groups)
 
 
 def evaluate_fused(coeffs_rev: jnp.ndarray, n: int, interpret: bool = False):
-    """Drop-in fused equivalent of core/fft.evaluate for log domain size n
-    (requires n >= 10 and 2^(n//2) >= LANES; callers fall back otherwise)."""
+    """Drop-in fused equivalent of core/fft.evaluate for log domain size n."""
     C, L_len = coeffs_rev.shape
     N = 1 << n
     log_l = L_len.bit_length() - 1
-    k, a_stages, b_stages = _phase_plans(n, log_l)
-    blk = 1 << k
-    nb = N // blk
-    assert nb >= LANES and blk >= LANES
-    a_tabs, b_tabs = _twiddle_tables(n, log_l)
+    p_min, c0, groups = _pass_plan(n, log_l)
+    low_tabs, mid_tabs = _twiddle_tables(n, log_l)
 
-    if L_len < N:
+    if L_len < N:  # Reed-Solomon dilation broadcast (bits [0, p_min) copies)
         w = jnp.broadcast_to(
             coeffs_rev[:, :, None], (C, L_len, N // L_len)
         ).reshape(C, N)
     else:
         w = coeffs_rev
 
-    if a_stages:
-        wt = w.reshape(C, nb, blk).transpose(0, 2, 1)  # (C, blk, nb)
-        stage_list = [
-            (1 << (n - 1 - d), i) for i, d in enumerate(a_stages)
-        ]
-        kern = _phase_a_kernel_factory(tuple(stage_list))
-        wt = pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((C, blk, nb), jnp.uint32),
-            grid=(C, nb // LANES),
-            in_specs=[
-                pl.BlockSpec((1, blk, LANES), lambda c, i: (c, 0, i),
-                             memory_space=pltpu.VMEM),
-            ]
-            + [
-                pl.BlockSpec((blk, 1), lambda c, i: (0, 0),
-                             memory_space=pltpu.VMEM)
-                for _ in a_stages
-            ],
-            out_specs=pl.BlockSpec((1, blk, LANES), lambda c, i: (c, 0, i),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(wt, *a_tabs)
-        w = wt.transpose(0, 2, 1).reshape(C, N)
-
-    if b_stages:
-        wb = w.reshape(C, nb, blk)
-        stage_list = []
-        specs = [
-            pl.BlockSpec((1, nb, LANES), lambda c, i: (c, 0, i),
-                         memory_space=pltpu.VMEM)
-        ]
-        for i, d in enumerate(b_stages):
-            e_rows = b_tabs[i].shape[0]
-            reps = nb // e_rows
-            stage_list.append((e_rows, i, reps))
-            specs.append(
-                pl.BlockSpec((e_rows, LANES), lambda c, i: (0, i),
-                             memory_space=pltpu.VMEM)
-            )
-        kern = _phase_b_kernel_factory(tuple(stage_list))
-        wb = pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((C, nb, blk), jnp.uint32),
-            grid=(C, blk // LANES),
-            in_specs=specs,
-            out_specs=pl.BlockSpec((1, nb, LANES), lambda c, i: (c, 0, i),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(wb, *b_tabs)
-        w = wb.reshape(C, N)
+    if c0 > p_min:
+        w = _run_low_pass(w, n, p_min, c0, low_tabs, interpret)
+    for (b, c), tabs in zip(groups, mid_tabs):
+        w = _run_mid_pass(w, n, b, c, tabs, interpret)
     return w

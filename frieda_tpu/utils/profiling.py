@@ -1,0 +1,123 @@
+"""Phase spans + per-kernel roofline counters.
+
+The reference's only perf tooling is inert `tracing` spans inside stwo and a
+criterion harness (SURVEY.md §5); this module is the TPU-native replacement:
+
+  * `span(name)` — wall-clock phase timer that doubles as a
+    `jax.profiler.TraceAnnotation`, so phases show up in XLA profiler traces
+    (`jax.profiler.trace(dir)`) and in plain stderr timing.
+  * roofline models for the two hot kernel families (BASELINE.json demands
+    per-kernel speed-of-light accounting):
+      - circle FFT / low-degree extension: HBM-bandwidth-bound;
+      - Merkle level hashing: hash-throughput-bound (but also expressible as
+        bytes, since each raw-blake2s node moves a fixed byte budget).
+
+Numbers returned are *model* vs *measured*: `sol_fraction` ~1.0 means the
+kernel saturates the hardware ceiling; no constant here affects correctness.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+import time
+
+import jax
+
+# Per-chip HBM bandwidth ceilings (GB/s). Used only for reporting.
+_HBM_GBPS = {
+    "v5e": 819.0,  # TPU v5e (v5 lite)
+    "v5p": 2765.0,
+    "v4": 1228.0,
+    "v6e": 1640.0,
+    "cpu": 50.0,  # order-of-magnitude placeholder for the CPU backend
+}
+
+
+def hbm_gbps() -> float:
+    """Best-effort HBM bandwidth of the attached device for roofline ratios."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return _HBM_GBPS["cpu"]
+    for key, bw in _HBM_GBPS.items():
+        if key in kind:
+            return bw
+    return _HBM_GBPS["v5e"]
+
+
+@contextlib.contextmanager
+def span(name: str, out=sys.stderr):
+    """Wall-clock + profiler-trace span around a phase."""
+    with jax.profiler.TraceAnnotation(name):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            if out is not None:
+                print(f"[span] {name}: {dt * 1e3:.2f} ms", file=out, flush=True)
+
+
+def fft_roofline(log_domain: int, seconds: float, columns: int = 4,
+                 fused: bool = True) -> dict:
+    """Roofline for the low-degree extension of `columns` polys to 2^log_domain.
+
+    Fused four-step path (ops/fft_pallas.py): 2 transposes + 2 phase kernels
+    = 4 read+write passes over the (columns, 2^log_domain) uint32 table.
+    XLA stage-loop path: one read+write pass per butterfly stage.
+    """
+    n_bytes_pass = columns * (1 << log_domain) * 4 * 2  # read + write
+    passes = 4 if fused else max(log_domain, 1)
+    bytes_moved = n_bytes_pass * passes
+    achieved = bytes_moved / seconds / 1e9
+    ceiling = hbm_gbps()
+    butterflies = columns * log_domain * (1 << log_domain) // 2
+    return {
+        "kernel": "circle_fft",
+        "bytes_moved": bytes_moved,
+        "achieved_gbps": achieved,
+        "hbm_gbps": ceiling,
+        "sol_fraction": achieved / ceiling,
+        "butterflies_per_s": butterflies / seconds,
+    }
+
+
+def merkle_roofline(log_leaves: int, seconds: float) -> dict:
+    """Roofline for a full tree over 2^log_leaves leaves (4 u32 columns).
+
+    Ideal traffic: leaves read 16B write 32B; each inner level reads 2x32B
+    and writes 32B per parent. Total ~= 48*N + 96*(N-1) bytes. Hash count
+    2N - 1 raw-blake2s compressions.
+    """
+    n = 1 << log_leaves
+    bytes_moved = 48 * n + 96 * (n - 1)
+    hashes = 2 * n - 1
+    achieved = bytes_moved / seconds / 1e9
+    ceiling = hbm_gbps()
+    return {
+        "kernel": "merkle_blake2s",
+        "bytes_moved": bytes_moved,
+        "hashes": hashes,
+        "hashes_per_s": hashes / seconds,
+        "achieved_gbps": achieved,
+        "hbm_gbps": ceiling,
+        "sol_fraction": achieved / ceiling,
+    }
+
+
+def commit_roofline(log_domain: int, seconds: float) -> dict:
+    """End-to-end commit = LDE + Merkle over the same table."""
+    fft = fft_roofline(log_domain, seconds)
+    mk = merkle_roofline(log_domain, seconds)
+    bytes_moved = fft["bytes_moved"] + mk["bytes_moved"]
+    achieved = bytes_moved / seconds / 1e9
+    ceiling = hbm_gbps()
+    return {
+        "kernel": "commit_e2e",
+        "bytes_moved": bytes_moved,
+        "achieved_gbps": achieved,
+        "hbm_gbps": ceiling,
+        "sol_fraction": achieved / ceiling,
+        "min_seconds_at_sol": bytes_moved / (ceiling * 1e9),
+    }

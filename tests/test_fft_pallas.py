@@ -18,3 +18,25 @@ def test_fused_matches_stage_loop(n, log_l):
     expect = np.asarray(fft.evaluate(c_rev, fft.stage_twiddles(n)))
     got = np.asarray(fft_pallas.evaluate_fused(c_rev, n, interpret=True))
     assert np.array_equal(got, expect)
+
+
+def test_fused_multi_group_plan(monkeypatch):
+    """Shrink the group caps so an interpret-mode size exercises the
+    low pass + several mid passes (the structure large domains compile)."""
+    monkeypatch.setattr(fft_pallas, "GROUP_BITS_MAX", 4)
+    monkeypatch.setattr(fft_pallas, "LOW_BITS_MAX", 7)
+    fft_pallas._pass_plan.cache_clear()
+    fft_pallas._twiddle_tables.cache_clear()
+    try:
+        n, log_l = 14, 12
+        p_min, c0, groups = fft_pallas._pass_plan(n, log_l)
+        assert len(groups) >= 2
+        rng = np.random.default_rng(7)
+        c = rng.integers(0, P, (2, 1 << log_l), dtype=np.uint32)
+        c_rev = jnp.asarray(fft.bitrev_coeffs(c))
+        expect = np.asarray(fft.evaluate(c_rev, fft.stage_twiddles(n)))
+        got = np.asarray(fft_pallas.evaluate_fused(c_rev, n, interpret=True))
+        assert np.array_equal(got, expect)
+    finally:
+        fft_pallas._pass_plan.cache_clear()
+        fft_pallas._twiddle_tables.cache_clear()
