@@ -25,31 +25,48 @@ Commitment = bytes  # 32-byte Merkle root ([u8; 32] in the reference)
 
 
 @functools.partial(jax.jit, static_argnums=())
-def _commit_pipeline(coeffs, twiddles):
-    """coeffs (4, 2^L) -> (evals (4, 2^n), wide device merkle levels)."""
-    evals = fft.evaluate_auto(coeffs, twiddles)
+def _commit_pipeline(coeffs, perm, twiddles):
+    """Natural-order coeffs (4, 2^L) -> (evals (4, 2^n), wide merkle levels).
+    The coefficient bit-reversal is a device gather (fused by XLA into the
+    dilation broadcast) — far cheaper than a host-side numpy gather."""
+    evals = fft.evaluate_auto(fft.apply_bitrev(coeffs, perm), twiddles)
     dlevels = merkle.device_levels(evals)
     return evals, dlevels
 
 
+@functools.partial(jax.jit, static_argnums=())
+def _commit_root_pipeline(coeffs, perm, twiddles):
+    """Natural-order coeffs -> (8,) root words, entirely on device. One
+    dispatch + one 32-byte fetch: round trips dominate commit latency on
+    remote-attached chips."""
+    evals = fft.evaluate_auto(fft.apply_bitrev(coeffs, perm), twiddles)
+    levels = merkle.device_levels(evals, cutoff_log=0)
+    return levels[-1][:, 0]
+
+
 def commit_with_tree(data: bytes, log_blowup_factor: int):
     """Full commit pipeline; returns (root_bytes, evals, CommitTree,
-    log_domain_size). Shared by commit() and the FRI prover (the FRI first
-    layer *is* the commitment — src/proof.rs:126-135)."""
+    log_domain_size). Shared by the FRI prover (the FRI first layer *is* the
+    commitment — src/proof.rs:126-135)."""
     coeffs = polynomial_from_bytes(data)
     log_size = ceil_log2(coeffs.shape[1])
     n = log_size + log_blowup_factor
     twiddles = fft.stage_twiddles(n)
-    coeffs_rev = fft.bitrev_coeffs(coeffs)  # device consumes bitrev order
-    evals, dlevels = _commit_pipeline(jnp.asarray(coeffs_rev), twiddles)
+    perm = fft.bitrev_perm_device(log_size)
+    evals, dlevels = _commit_pipeline(jnp.asarray(coeffs), perm, twiddles)
     tree = merkle.CommitTree(dlevels, n)
     return tree.root, evals, tree, n
 
 
 def commit(data: bytes, log_blowup_factor: int) -> Commitment:
     """Commit to a data blob (reference: src/commit.rs:11-22)."""
-    root, _, _, _ = commit_with_tree(data, log_blowup_factor)
-    return root
+    coeffs = polynomial_from_bytes(data)
+    log_size = ceil_log2(coeffs.shape[1])
+    n = log_size + log_blowup_factor
+    twiddles = fft.stage_twiddles(n)
+    perm = fft.bitrev_perm_device(log_size)
+    words = jax.device_get(_commit_root_pipeline(jnp.asarray(coeffs), perm, twiddles))
+    return b"".join(int(w).to_bytes(4, "little") for w in words)
 
 
 def generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT_CONFIG):

@@ -70,11 +70,13 @@ def _batch_inv(a: np.ndarray) -> np.ndarray:
     return acc
 
 
+@functools.lru_cache(maxsize=32)
 def bitrev_permutation(log_n: int) -> np.ndarray:
     idx = np.arange(1 << log_n, dtype=np.int64)
     rev = np.zeros_like(idx)
     for i in range(log_n):
         rev |= ((idx >> np.int64(i)) & np.int64(1)) << np.int64(log_n - 1 - i)
+    rev.setflags(write=False)  # cached: guard against accidental mutation
     return rev
 
 

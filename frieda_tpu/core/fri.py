@@ -140,11 +140,11 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         f1 = qm31_mul_m31(qm31_sub(g0, g1), xs_invs[layer])
         return jnp.stack(qm31_add(qm31_add(g0, g1), qm31_mul(a, f1)))
 
-    def run(coeffs_rev, seed_lo, seed_hi):
+    def run(coeffs, perm, seed_lo, seed_hi):
         digest = dc.fresh_digest()
         if has_seed:
             digest = dc.dc_mix_u64(digest, seed_lo, seed_hi)
-        evals = fft.evaluate_auto(coeffs_rev, twiddles)
+        evals = fft.evaluate_auto(fft.apply_bitrev(coeffs, perm), twiddles)
         flat0, root0 = _commit_cols_flat(evals)
         digest = dc.dc_mix_digest(digest, root0)
         alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))
@@ -445,10 +445,10 @@ def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT
         seed is not None,
     )
     seed_val = 0 if seed is None else int(seed) & ((1 << 64) - 1)
-    coeffs_rev = jnp.asarray(fft.bitrev_coeffs(coeffs))
     (evals, layers_flat, trees_flat, roots_arr, last_poly, degree_ok, nonce,
      qpos) = fn(
-        coeffs_rev,
+        jnp.asarray(coeffs),
+        fft.bitrev_perm_device(log_size),
         jnp.uint32(seed_val & 0xFFFFFFFF),
         jnp.uint32(seed_val >> 32),
     )

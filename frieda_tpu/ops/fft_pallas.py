@@ -129,8 +129,13 @@ def _pass_plan(n: int, log_l: int):
 
 @functools.lru_cache(maxsize=64)
 def _twiddle_tables(n: int, log_l: int):
-    """Device twiddle tables per pass. Low pass: [(blk, 1)] per stage.
-    Mid groups: [[(rows, lo)] per stage] (BlockSpec slices lanes)."""
+    """Twiddle tables per pass, as NUMPY arrays. Low pass: [(blk, 1)] per
+    stage. Mid groups: [[(rows, lo)] per stage] (BlockSpec slices lanes).
+
+    Numpy (not jnp) on purpose: this cache is populated during jit tracing,
+    and jnp arrays created inside a trace can be tracer-backed — caching them
+    leaks tracers into later traces (UnexpectedTracerError). Numpy constants
+    are staged fresh by each pallas_call."""
     tw = hostcircle.get_twiddles(n)
     p_min, c0, groups = _pass_plan(n, log_l)
 
@@ -142,13 +147,13 @@ def _twiddle_tables(n: int, log_l: int):
         blk = 1 << c0
         for p in range(p_min, c0):
             tab = np.tile(table(p), blk >> p)  # (blk,), lane-invariant
-            low_tabs.append(jnp.asarray(tab.reshape(blk, 1)))
+            low_tabs.append(np.ascontiguousarray(tab.reshape(blk, 1)))
     mid_tabs = []
     for b, c in groups:
         lo = 1 << b
         tabs = []
         for p in range(b, c):
-            tabs.append(jnp.asarray(table(p).reshape(1 << (p - b), lo)))
+            tabs.append(np.ascontiguousarray(table(p).reshape(1 << (p - b), lo)))
         mid_tabs.append(tabs)
     return low_tabs, mid_tabs
 
