@@ -193,14 +193,31 @@ def verify_openings(
     return known.get(0) == root
 
 
+def _native():
+    """The C++ host runtime, or None (pure-Python spec fallback). The
+    light-client verifier hashes thousands of nodes per proof; the Python
+    spec compression costs ~200 us/node vs ~100 ns native."""
+    from .. import native
+
+    return native.get_lib() and native
+
+
 def leaf_hash_host(column_values) -> bytes:
     """Host-side leaf hash: 4 column u32 values zero-padded to 16 words."""
+    nat = _native()
+    if nat is not None:
+        msg = np.zeros((1, 16), np.uint32)
+        msg[0, : len(column_values)] = [int(v) for v in column_values]
+        return nat.raw_compress_batch(msg)[0].tobytes()
     m = [int(v) for v in column_values] + [0] * (16 - len(column_values))
     out = raw_compress(m)
     return b"".join(int(w).to_bytes(4, "little") for w in out)
 
 
 def hash_pair(left: bytes, right: bytes) -> bytes:
+    nat = _native()
+    if nat is not None:
+        return nat.hash_pair(left, right)
     m = [int.from_bytes(left[4 * i : 4 * i + 4], "little") for i in range(8)]
     m += [int.from_bytes(right[4 * i : 4 * i + 4], "little") for i in range(8)]
     out = raw_compress(m)
