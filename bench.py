@@ -147,6 +147,14 @@ def main():
         ok = api.verify(proof, len(data))
         t_verify = time.perf_counter() - t0
         log(f"blob prove: {t_prove*1e3:.0f} ms, verify: {t_verify*1e3:.0f} ms, ok={ok}")
+        k = 8
+        datas = [synthetic_data(262146, seed=i) for i in range(k)]
+        t0 = time.perf_counter()
+        batch = api.prove_many(datas, list(range(k)))
+        t_batch = (time.perf_counter() - t0) / k
+        assert all(api.verify(p, s) for s, (_, p) in enumerate(batch))
+        log(f"pipelined blob prove ({k} in flight): {t_batch*1e3:.0f} ms/proof, "
+            f"{1/t_batch:.1f} proofs/s")
     except Exception as e:  # noqa: BLE001
         log(f"prove/verify bench failed: {e}")
 

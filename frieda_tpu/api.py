@@ -85,6 +85,15 @@ def commit_and_prove(data: bytes, seed, pcs_config: PcsConfig = DEFAULT_CONFIG):
     return commit_and_generate_proof(data, seed, pcs_config)
 
 
+def prove_many(datas, seeds, pcs_config: PcsConfig = DEFAULT_CONFIG):
+    """Pipelined batch proving: all commit phases are dispatched before any
+    proof is finished, overlapping uploads and device compute across blobs.
+    Returns a list of (commitment, Proof) in input order."""
+    from .core.fri import prove_many as _pm
+
+    return _pm(datas, seeds, pcs_config)
+
+
 def verify(proof, seed) -> bool:
     """Verify a proof under the sampling seed (reference: src/proof.rs:79-101).
     NB: deliberately does not take the Commitment (reference API quirk) —

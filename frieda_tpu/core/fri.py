@@ -416,12 +416,10 @@ def _line_x_at(n: int, layer: int, j: int) -> int:
 # Prover
 # ---------------------------------------------------------------------------
 
-def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT_CONFIG):
-    """Returns (commitment_bytes, Proof). Reference: src/proof.rs:32-77.
-
-    One device dispatch for the whole FRI commit phase, one small fetch of
-    (roots, last layer, nonce, query words), one batched decommitment gather.
-    """
+def _dispatch_commit_phase(data: bytes, seed, pcs_config: PcsConfig):
+    """Async half of proving: one device dispatch of the full FRI commit
+    phase. Returns an opaque context consumed by _finish_proof; dispatching
+    several blobs before finishing any overlaps their uploads/compute."""
     from . import fft
 
     fri_cfg = pcs_config.fri_config
@@ -445,13 +443,39 @@ def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT
         seed is not None,
     )
     seed_val = 0 if seed is None else int(seed) & ((1 << 64) - 1)
-    (evals, layers_flat, trees_flat, roots_arr, last_poly, degree_ok, nonce,
-     qpos) = fn(
+    outs = fn(
         jnp.asarray(coeffs),
         fft.bitrev_perm_device(log_size),
         jnp.uint32(seed_val & 0xFFFFFFFF),
         jnp.uint32(seed_val >> 32),
     )
+    return (outs, pcs_config, log_size, n, n_inner)
+
+
+def prove_many(datas, seeds, pcs_config: PcsConfig = DEFAULT_CONFIG):
+    """Pipelined batch proving: dispatch every blob's commit phase first,
+    then finish (fetch + decommit gathers) in order. Returns a list of
+    (commitment, Proof). Sustained-throughput counterpart of
+    commit_and_generate_proof for production serving."""
+    ctxs = [
+        _dispatch_commit_phase(d, s, pcs_config) for d, s in zip(datas, seeds)
+    ]
+    return [_finish_proof(ctx) for ctx in ctxs]
+
+
+def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT_CONFIG):
+    """Returns (commitment_bytes, Proof). Reference: src/proof.rs:32-77.
+
+    One device dispatch for the whole FRI commit phase, one small fetch of
+    (roots, last layer, nonce, query words), one batched decommitment gather.
+    """
+    return _finish_proof(_dispatch_commit_phase(data, seed, pcs_config))
+
+
+def _finish_proof(ctx):
+    (outs, pcs_config, log_size, n, n_inner) = ctx
+    (evals, layers_flat, trees_flat, roots_arr, last_poly, degree_ok, nonce,
+     qpos) = outs
 
     roots_np, last_np, ok_np, nonce_np, qpos_np = jax.device_get(
         (roots_arr, last_poly, degree_ok, nonce, qpos)

@@ -170,3 +170,17 @@ def test_unsatisfiable_config_raises():
     cfg = PcsConfig(pow_bits=4, fri_config=FriConfig(2, 0, 8))
     with pytest.raises(ValueError):
         api.commit_and_prove(b"\x01", 7, cfg)
+
+
+def test_prove_many_matches_sequential():
+    """Pipelined batch proving must produce exactly the proofs the
+    sequential path produces (same transcripts, same wire bytes)."""
+    cfg = PcsConfig(pow_bits=4, fri_config=FriConfig(2, 0, 8))
+    datas = [bytes((i * k + 3) % 256 for i in range(512)) for k in (7, 11, 13)]
+    seeds = [1, 2, None]
+    batch = api.prove_many(datas, seeds, cfg)
+    for (d, s, (c, p)) in zip(datas, seeds, batch):
+        c_ref, p_ref = api.commit_and_prove(d, s, cfg)
+        assert c == c_ref
+        assert p.to_bytes() == p_ref.to_bytes()
+        assert api.verify(p, s)
