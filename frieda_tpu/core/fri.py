@@ -52,31 +52,6 @@ P = sf.P
 # Device folds
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _fold_circle(evals, alpha, ys_inv):
-    """evals (4, N) natural order -> (4, N/2): circle->line fold. Conjugate
-    pairs (stored 2k, 2k+1) are the two array halves in natural layout."""
-    half = evals.shape[1] // 2
-    fp = tuple(evals[i, :half] for i in range(4))
-    fm = tuple(evals[i, half:] for i in range(4))
-    a = tuple(alpha[i] for i in range(4))
-    f0 = qm31_add(fp, fm)
-    f1 = qm31_mul_m31(qm31_sub(fp, fm), ys_inv)
-    return jnp.stack(qm31_add(f0, qm31_mul(a, f1)))
-
-
-@jax.jit
-def _fold_line(evals, alpha, xs_inv):
-    """evals (4, M) natural order -> (4, M/2): line fold over ±x halves."""
-    half = evals.shape[1] // 2
-    g0 = tuple(evals[i, :half] for i in range(4))
-    g1 = tuple(evals[i, half:] for i in range(4))
-    a = tuple(alpha[i] for i in range(4))
-    f0 = qm31_add(g0, g1)
-    f1 = qm31_mul_m31(qm31_sub(g0, g1), xs_inv)
-    return jnp.stack(qm31_add(f0, qm31_mul(a, f1)))
-
-
 def _commit_cols_flat(cols):
     """Merkle-commit (4, M) natural-order columns fully on device. Returns
     (flat (8, 2M-1) levels concatenated leaves-first, root (8,))."""
