@@ -54,13 +54,18 @@ LOW_BITS_MAX = 10     # transposed low pass covers bits [p_min, min(10, ...))
 
 def _butterfly_2d(x, t, e: int):
     """One in-VMEM butterfly along the sublane axis. x: (M, LANES), combine
-    distance e rows; t: (M, LANES) or (M, 1) twiddles (already expanded)."""
+    distance e rows; t: (M, LANES) or (M, 1) twiddles (already expanded).
+
+    The stage twiddle table is periodic with period e rows (t[j] == t[j^e]:
+    it is T_p[j mod 2^p] tiled/broadcast, and e == 2^p), so a single M31
+    product u = t*x serves both branches: t[j]*x[j+e] == u[j+e] and
+    t[j]*x[j] == u[j]. Halves the dominant VPU cost vs multiplying both
+    rolled operands."""
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     mask = (idx & e) == 0
-    up = jnp.roll(x, -e, axis=0)
-    dn = jnp.roll(x, e, axis=0)
-    a = m31_add(x, m31_mul(t, up))
-    b = m31_sub(dn, m31_mul(t, x))
+    u = m31_mul(t, x)
+    a = m31_add(x, jnp.roll(u, -e, axis=0))
+    b = m31_sub(jnp.roll(x, e, axis=0), u)
     return jnp.where(mask, a, b)
 
 
@@ -80,22 +85,43 @@ def _low_kernel_factory(stage_rows):
 
 def _mid_kernel_factory(stage_list):
     """Natural-layout mid pass. stage_list: [(rows, reps), ...]; tables are
-    (rows, LANES) inputs following x_ref, broadcast `reps` times up the mid
-    axis."""
+    (rows, LB) inputs following x_ref, broadcast `reps` times up the mid
+    axis (LB = lane-block width, a multiple of LANES)."""
 
     def kernel(x_ref, *refs):
         out_ref = refs[-1]
-        x = x_ref[0, 0]  # (mid, LANES)
-        mid = x.shape[0]
+        x = x_ref[0, 0]  # (mid, LB)
+        mid, lb = x.shape
         for i, (rows, reps) in enumerate(stage_list):
-            tw = refs[i][:, :]  # (rows, LANES)
-            if reps > 1:
-                t = jnp.broadcast_to(tw[None], (reps, rows, LANES)).reshape(
-                    mid, LANES
-                )
+            tw = refs[i][:, :]  # (rows, LB)
+            if rows >= 8:
+                # (mid, lb) -> (reps, rows, lb) is a free view (minor dims
+                # keep their tiling); there the twiddle broadcast is along
+                # the leading axis (no sublane interleave materialization),
+                # the distance-`rows` roll becomes a leading-axis roll by 1,
+                # and the butterfly mask is leading-iota parity.
+                x3 = x.reshape(reps, rows, lb)
+                u3 = m31_mul(jnp.broadcast_to(tw[None], x3.shape), x3)
+                a3 = m31_add(x3, jnp.roll(u3, -1, axis=0))
+                b3 = m31_sub(jnp.roll(x3, 1, axis=0), u3)
+                r_idx = jax.lax.broadcasted_iota(jnp.int32, x3.shape, 0)
+                x = jnp.where((r_idx & 1) == 0, a3, b3).reshape(mid, lb)
             else:
-                t = tw
-            x = _butterfly_2d(x, t, rows)
+                # rows in {1, 2, 4}: build the periodic table with sublane
+                # splats + a select tree (cheaper than an interleaving
+                # reshape of a broadcast at sublane granularity).
+                if rows == 1:
+                    t = jnp.broadcast_to(tw, (mid, lb))
+                else:
+                    idx = jax.lax.broadcasted_iota(jnp.int32, (mid, lb), 0)
+                    t = jnp.broadcast_to(tw[0:1], (mid, lb))
+                    for r in range(1, rows):
+                        t = jnp.where(
+                            (idx & (rows - 1)) == r,
+                            jnp.broadcast_to(tw[r : r + 1], (mid, lb)),
+                            t,
+                        )
+                x = _butterfly_2d(x, t, rows)
         out_ref[0, 0] = x
 
     return kernel
@@ -115,13 +141,14 @@ def _pass_plan(n: int, log_l: int):
         c0 = min(LOW_BITS_MAX, n - 7)
     else:
         c0 = p_min  # all executed bits already have lo >= 128: no low pass
+    # near-equal mid groups: a small-`mid` trailing group is measurably
+    # slower than two balanced ones (its blocks are sublane-starved)
+    total = n - c0
+    n_groups = -(-total // GROUP_BITS_MAX) if total else 0
     groups = []
     b = c0
-    while b < n:
-        c = min(b + GROUP_BITS_MAX, n)
-        # avoid a tiny trailing group: balance the last two
-        if c < n and n - c < 3:
-            c = (b + n + 1) // 2
+    for g in range(n_groups):
+        c = c0 + total * (g + 1) // n_groups
         groups.append((b, c))
         b = c
     return p_min, c0, tuple(groups)
@@ -185,32 +212,41 @@ def _run_low_pass(w, n, p_min, c0, low_tabs, interpret):
     return wt.transpose(0, 2, 1).reshape(C, N)
 
 
+def _mid_lane_block(mid: int, lo: int) -> int:
+    """Lane-block width for a mid pass: aim for ~2^16-element blocks (256 KB)
+    so shallow groups (small `mid`) don't degenerate into thousands of tiny
+    latency-bound grid steps, while deep groups keep LANES-wide blocks."""
+    lb = max(LANES, (1 << 16) // mid)
+    return min(lb, lo)
+
+
 def _run_mid_pass(w, n, b, c, tabs, interpret):
     C = w.shape[0]
     N = 1 << n
     lo = 1 << b
     mid = 1 << (c - b)
     hi = N // (lo * mid)
+    lb = _mid_lane_block(mid, lo)
     wb = w.reshape(C, hi, mid, lo)
     # (rows, reps) with reps = mid // rows
     stage_list = tuple((1 << (p - b), mid // (1 << (p - b))) for p in range(b, c))
     kern = _mid_kernel_factory(stage_list)
     in_specs = [
-        pl.BlockSpec((1, 1, mid, LANES), lambda cc, h, i: (cc, h, 0, i),
+        pl.BlockSpec((1, 1, mid, lb), lambda cc, h, i: (cc, h, 0, i),
                      memory_space=pltpu.VMEM)
     ]
     for p in range(b, c):
         rows = 1 << (p - b)
         in_specs.append(
-            pl.BlockSpec((rows, LANES), lambda cc, h, i: (0, i),
+            pl.BlockSpec((rows, lb), lambda cc, h, i: (0, i),
                          memory_space=pltpu.VMEM)
         )
     wb = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, hi, mid, lo), jnp.uint32),
-        grid=(C, hi, lo // LANES),
+        grid=(C, hi, lo // lb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, mid, LANES), lambda cc, h, i: (cc, h, 0, i),
+        out_specs=pl.BlockSpec((1, 1, mid, lb), lambda cc, h, i: (cc, h, 0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(wb, *tabs)
