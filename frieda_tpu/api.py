@@ -36,12 +36,21 @@ def _commit_pipeline(coeffs, perm, twiddles):
 
 @functools.partial(jax.jit, static_argnums=())
 def _commit_root_pipeline(coeffs, perm, twiddles):
-    """Natural-order coeffs -> (8,) root words, entirely on device. One
-    dispatch + one 32-byte fetch: round trips dominate commit latency on
-    remote-attached chips."""
+    """Natural-order coeffs -> (8, <=2^HOST_CUTOFF_LOG) top device level. One
+    dispatch + one small fetch (<= 2 KB, still a single round trip); the last
+    ~HOST_CUTOFF_LOG narrow tree levels are pure dispatch/compile overhead on
+    TPU, so they finish on host via the native runtime (merkle.py:35)."""
     evals = fft.evaluate_auto(fft.apply_bitrev(coeffs, perm), twiddles)
-    levels = merkle.device_levels(evals, cutoff_log=0)
-    return levels[-1][:, 0]
+    levels = merkle.device_levels(evals)
+    return levels[-1]
+
+
+def _finish_root(top_words) -> bytes:
+    """(8, m) device-level fetch -> 32-byte root (host top levels)."""
+    top = np.asarray(top_words)
+    if top.shape[1] > 1:
+        top = merkle.host_levels_from(top)[-1]
+    return b"".join(int(w).to_bytes(4, "little") for w in top[:, 0])
 
 
 def commit_with_tree(data: bytes, log_blowup_factor: int):
@@ -60,13 +69,18 @@ def commit_with_tree(data: bytes, log_blowup_factor: int):
 
 def commit(data: bytes, log_blowup_factor: int) -> Commitment:
     """Commit to a data blob (reference: src/commit.rs:11-22)."""
-    coeffs = polynomial_from_bytes(data)
-    log_size = ceil_log2(coeffs.shape[1])
-    n = log_size + log_blowup_factor
-    twiddles = fft.stage_twiddles(n)
-    perm = fft.bitrev_perm_device(log_size)
-    words = jax.device_get(_commit_root_pipeline(jnp.asarray(coeffs), perm, twiddles))
-    return b"".join(int(w).to_bytes(4, "little") for w in words)
+    from .utils.profiling import span
+
+    with span("commit/ingest"):
+        coeffs = polynomial_from_bytes(data)
+        log_size = ceil_log2(coeffs.shape[1])
+        n = log_size + log_blowup_factor
+        twiddles = fft.stage_twiddles(n)
+        perm = fft.bitrev_perm_device(log_size)
+    with span("commit/device(lde+merkle)"):
+        top = jax.device_get(_commit_root_pipeline(jnp.asarray(coeffs), perm, twiddles))
+    with span("commit/host_tree_top"):
+        return _finish_root(top)
 
 
 def generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT_CONFIG):

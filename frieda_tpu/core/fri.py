@@ -85,8 +85,18 @@ def _device_ifft_line(comps, xs_invs, depth: int):
 
 @functools.lru_cache(maxsize=8)
 def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
-                   pow_bits: int, has_seed: bool):
-    """Build + jit the single-dispatch FRI commit phase for one config."""
+                   pow_bits: int, has_seed: bool, mesh=None,
+                   batched: bool = False):
+    """Build + jit the single-dispatch FRI commit phase for one config.
+
+    With `mesh` (a jax.sharding.Mesh with an "elem" axis) the SAME program is
+    compiled SPMD: every layer keeps its element axis sharded over the mesh
+    while it is wide enough, XLA inserts the collectives for the FFT stages /
+    Merkle tops / folds whose stride crosses the shard boundary, and the
+    (tiny, replicated) device channel serializes the transcript exactly as on
+    one chip — so the sharded proof is bit-identical to the single-chip one
+    (tests/test_sharding.py). The fused Pallas FFT does not auto-partition;
+    sharded compiles use the XLA stage loop."""
     from . import device_channel as dc
     from . import fft
 
@@ -98,6 +108,30 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
     tw = hostcircle.get_twiddles(n)
     ys_inv = jnp.asarray(tw.ys_inv)
     xs_invs = tuple(jnp.asarray(x) for x in tw.xs_layers_inv)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_elem = mesh.shape["elem"]
+        elem_sharding = NamedSharding(mesh, PartitionSpec(None, "elem"))
+
+        replicated = NamedSharding(mesh, PartitionSpec(None, None))
+
+        def shard_elem(x):
+            # Keep the element axis sharded while every shard still holds a
+            # whole number of halves-pairs; tiny tail layers replicate.
+            if x.shape[-1] % (2 * n_elem) == 0:
+                return jax.lax.with_sharding_constraint(x, elem_sharding)
+            return jax.lax.with_sharding_constraint(x, replicated)
+
+        def replicate(x):
+            return jax.lax.with_sharding_constraint(x, replicated)
+
+        evaluate = fft.evaluate
+    else:
+        shard_elem = lambda x: x  # noqa: E731
+        replicate = lambda x: x  # noqa: E731
+        evaluate = fft.evaluate_auto
 
     def fold_c(evals, alpha):
         half = evals.shape[1] // 2
@@ -119,11 +153,11 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         digest = dc.fresh_digest()
         if has_seed:
             digest = dc.dc_mix_u64(digest, seed_lo, seed_hi)
-        evals = fft.evaluate_auto(fft.apply_bitrev(coeffs, perm), twiddles)
+        evals = shard_elem(evaluate(fft.apply_bitrev(coeffs, perm), twiddles))
         flat0, root0 = _commit_cols_flat(evals)
         digest = dc.dc_mix_digest(digest, root0)
         alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))
-        g = fold_c(evals, alpha)
+        g = shard_elem(fold_c(evals, alpha))
         roots = [root0]
         tree_flats = [flat0]
         layer_arrays = []
@@ -134,7 +168,10 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
             roots.append(root_l)
             tree_flats.append(flat_l)
             layer_arrays.append(g)
-            g = fold_l(g, alpha, l)
+            g = shard_elem(fold_l(g, alpha, l))
+        # The last layer is tiny (<= 2^(llb+blowup) values): replicate it so
+        # the recursive interpolation below runs locally on every device.
+        g = replicate(g)
         coeffs_last = _device_ifft_line(
             tuple(g[i] for i in range(4)), xs_invs, n_inner
         )  # (2^last_log, 4)
@@ -165,6 +202,17 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
             qpos,
         )
 
+    if batched:
+        # Data-parallel batch of independent transcripts: vmap over a leading
+        # blob axis; spmd_axis_name threads the mesh's "data" axis through
+        # every with_sharding_constraint inside.
+        return jax.jit(
+            jax.vmap(
+                run,
+                in_axes=(0, None, 0, 0),
+                spmd_axis_name="data" if mesh is not None else None,
+            )
+        )
     return jax.jit(run)
 
 
@@ -391,14 +439,20 @@ def _line_x_at(n: int, layer: int, j: int) -> int:
 # Prover
 # ---------------------------------------------------------------------------
 
-def _dispatch_commit_phase(data: bytes, seed, pcs_config: PcsConfig):
+def _dispatch_commit_phase(data: bytes, seed, pcs_config: PcsConfig, mesh=None):
     """Async half of proving: one device dispatch of the full FRI commit
     phase. Returns an opaque context consumed by _finish_proof; dispatching
-    several blobs before finishing any overlaps their uploads/compute."""
+    several blobs before finishing any overlaps their uploads/compute.
+
+    With `mesh` the dispatch is SPMD over the mesh's "elem" axis (coefficients
+    element-sharded, collectives inserted by XLA); the proof bytes are
+    bit-identical to the unsharded dispatch."""
+    from ..utils.profiling import span
     from . import fft
 
     fri_cfg = pcs_config.fri_config
-    coeffs = polynomial_from_bytes(data)
+    with span("prove/ingest"):
+        coeffs = polynomial_from_bytes(data)
     log_size = ceil_log2(coeffs.shape[1])
     n = log_size + fri_cfg.log_blowup_factor
     last_log = fri_cfg.log_last_layer_degree_bound + fri_cfg.log_blowup_factor
@@ -416,26 +470,54 @@ def _dispatch_commit_phase(data: bytes, seed, pcs_config: PcsConfig):
         fri_cfg.n_queries,
         pcs_config.pow_bits,
         seed is not None,
+        mesh,
     )
+    coeffs_dev = jnp.asarray(coeffs)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if coeffs.shape[1] % mesh.shape["elem"] == 0:
+            coeffs_dev = jax.device_put(
+                coeffs_dev, NamedSharding(mesh, PartitionSpec(None, "elem"))
+            )
+        else:
+            coeffs_dev = jax.device_put(
+                coeffs_dev, NamedSharding(mesh, PartitionSpec())
+            )
     seed_val = 0 if seed is None else int(seed) & ((1 << 64) - 1)
-    outs = fn(
-        jnp.asarray(coeffs),
-        fft.bitrev_perm_device(log_size),
-        jnp.uint32(seed_val & 0xFFFFFFFF),
-        jnp.uint32(seed_val >> 32),
-    )
+    with span("prove/device_dispatch(lde+merkle+transcript+grind)"):
+        outs = fn(
+            coeffs_dev,
+            fft.bitrev_perm_device(log_size),
+            jnp.uint32(seed_val & 0xFFFFFFFF),
+            jnp.uint32(seed_val >> 32),
+        )
     return (outs, pcs_config, log_size, n, n_inner)
 
 
-def prove_many(datas, seeds, pcs_config: PcsConfig = DEFAULT_CONFIG):
-    """Pipelined batch proving: dispatch every blob's commit phase first,
-    then finish (fetch + decommit gathers) in order. Returns a list of
-    (commitment, Proof). Sustained-throughput counterpart of
-    commit_and_generate_proof for production serving."""
-    ctxs = [
-        _dispatch_commit_phase(d, s, pcs_config) for d, s in zip(datas, seeds)
-    ]
-    return [_finish_proof(ctx) for ctx in ctxs]
+def prove_many(datas, seeds, pcs_config: PcsConfig = DEFAULT_CONFIG,
+               max_in_flight: int = 8):
+    """Pipelined batch proving: keep up to `max_in_flight` blobs' commit
+    phases dispatched ahead of the finish (fetch + decommit gathers) cursor.
+    Returns a list of (commitment, Proof) in input order. Sustained-throughput
+    counterpart of commit_and_generate_proof for production serving.
+
+    The window bounds the device footprint: every in-flight blob holds its
+    evaluations + folded layers + tree levels in HBM until finished, so an
+    unbounded dispatch of large blobs (2^22+ domains) would exhaust HBM."""
+    datas = list(datas)
+    seeds = list(seeds)
+    if len(datas) != len(seeds):
+        raise ValueError(f"{len(datas)} blobs but {len(seeds)} seeds")
+    assert max_in_flight >= 1
+    out = []
+    ctxs: list = []
+    for d, s in zip(datas, seeds):
+        if len(ctxs) >= max_in_flight:
+            out.append(_finish_proof(ctxs.pop(0)))
+        ctxs.append(_dispatch_commit_phase(d, s, pcs_config))
+    out.extend(_finish_proof(ctx) for ctx in ctxs)
+    return out
 
 
 def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT_CONFIG):
@@ -448,13 +530,16 @@ def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT
 
 
 def _finish_proof(ctx):
+    from ..utils.profiling import span
+
     (outs, pcs_config, log_size, n, n_inner) = ctx
     (evals, layers_flat, trees_flat, roots_arr, last_poly, degree_ok, nonce,
      qpos) = outs
 
-    roots_np, last_np, ok_np, nonce_np, qpos_np = jax.device_get(
-        (roots_arr, last_poly, degree_ok, nonce, qpos)
-    )
+    with span("prove/fetch_transcript"):
+        roots_np, last_np, ok_np, nonce_np, qpos_np = jax.device_get(
+            (roots_arr, last_poly, degree_ok, nonce, qpos)
+        )
     if not bool(ok_np):
         raise AssertionError("FRI last layer exceeds degree bound (internal bug)")
     queries = sorted({int(q) for q in np.asarray(qpos_np)})
@@ -468,16 +553,18 @@ def _finish_proof(ctx):
     ]
 
     # --- decommitments: plan on host, gather once on device ---
-    plan = _DecommitPlan(n, n_inner, queries)
-    ge, gl, gt = _gather_all(
-        evals,
-        layers_flat,
-        trees_flat,
-        _pad_idx(plan.idx_e, _round_bucket(len(plan.idx_e))),
-        _pad_idx(plan.idx_l, _round_bucket(len(plan.idx_l))),
-        _pad_idx(plan.idx_t, _round_bucket(len(plan.idx_t))),
-    )
-    ge, gl, gt = (np.asarray(x) for x in jax.device_get((ge, gl, gt)))
+    with span("prove/decommit_plan"):
+        plan = _DecommitPlan(n, n_inner, queries)
+    with span("prove/decommit_gather"):
+        ge, gl, gt = _gather_all(
+            evals,
+            layers_flat,
+            trees_flat,
+            _pad_idx(plan.idx_e, _round_bucket(len(plan.idx_e))),
+            _pad_idx(plan.idx_l, _round_bucket(len(plan.idx_l))),
+            _pad_idx(plan.idx_t, _round_bucket(len(plan.idx_t))),
+        )
+        ge, gl, gt = (np.asarray(x) for x in jax.device_get((ge, gl, gt)))
 
     evaluations = _qm31_list(ge, plan.span_evaluations)
     layers = []
@@ -535,11 +622,48 @@ def _verify_layer_merkle(root, log_len, positions, values, fri_witness_iter, dec
 
 def verify_proof(proof: Proof, seed) -> bool:
     """Replay the transcript and check every decommitment/fold. Returns False
-    for invalid proofs; raises (reference panic-parity, src/proof.rs:166-173)
-    when `evaluations` is shorter than the sampled query set."""
-    cfg = proof.pcs_config
-    fri_cfg = cfg.fri_config
-    log_size = proof.log_size_bound
+    for invalid proofs — NEVER raises (reference: FriVerifier::commit Err =>
+    false, src/proof.rs:84-91) — with one deliberate exception: panic-parity
+    with the reference when `evaluations` is shorter than the sampled query
+    set (src/proof.rs:166-173), which raises IndexError."""
+    from ..utils.profiling import span
+
+    try:
+        with span("verify"):
+            return _verify_proof_inner(proof, seed)
+    except IndexError:
+        raise  # panic-parity quirk: missing evaluations
+    except Exception:
+        return False
+
+
+def _verify_proof_inner(proof: Proof, seed) -> bool:
+    # --- structural validation (FriVerifier::commit's fallible parse:
+    # malformed => Err => false, src/proof.rs:84-91; never raise) ---
+    try:
+        cfg = proof.pcs_config
+        fri_cfg = cfg.fri_config
+        log_size = int(proof.log_size_bound)
+        pow_nonce = int(proof.proof_of_work)
+        if not (0 <= log_size <= 48 and 0 <= pow_nonce < (1 << 64)):
+            return False
+        all_layers = [proof.proof.first_layer] + list(proof.proof.inner_layers)
+        for layer in all_layers:
+            if not isinstance(layer.commitment, bytes) or len(layer.commitment) != 32:
+                return False
+            if any(
+                not (isinstance(f, tuple) and len(f) == 4
+                     and all(0 <= int(c) < P for c in f))
+                for f in layer.fri_witness
+            ):
+                return False
+            if any(
+                not (isinstance(h, bytes) and len(h) == 32)
+                for h in layer.decommitment.hash_witness
+            ):
+                return False
+    except (AttributeError, TypeError, ValueError):
+        return False
     n = log_size + fri_cfg.log_blowup_factor
     last_log = fri_cfg.log_last_layer_degree_bound + fri_cfg.log_blowup_factor
     n_inner = n - 1 - last_log

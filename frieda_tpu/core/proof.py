@@ -24,6 +24,25 @@ from .merkle import MerkleDecommitment
 
 QM31 = tuple  # (a, b, c, d) ints < P
 
+P = (1 << 31) - 1
+
+
+def _qm31_checked(f) -> tuple:
+    """Validated QM31 from an untrusted 4-sequence. Raises ValueError, so
+    deserialization of a malformed proof fails loudly at the boundary and
+    `verify` never sees out-of-field values (reference: serde rejects
+    malformed input before FriVerifier::commit, src/proof.rs:84-91)."""
+    t = tuple(int(c) for c in f)
+    if len(t) != 4 or any(not (0 <= c < P) for c in t):
+        raise ValueError(f"invalid QM31 {f!r}")
+    return t
+
+
+def _commitment_checked(c: bytes) -> bytes:
+    if not isinstance(c, bytes) or len(c) != 32:
+        raise ValueError("commitment must be 32 bytes")
+    return c
+
 
 @dataclass
 class FriLayerProof:
@@ -40,10 +59,13 @@ class FriLayerProof:
 
     @classmethod
     def from_dict(cls, d):
+        dec = MerkleDecommitment.from_dict(d["decommitment"])
+        for h in dec.hash_witness:
+            _commitment_checked(h)
         return cls(
-            fri_witness=[tuple(f) for f in d["fri_witness"]],
-            decommitment=MerkleDecommitment.from_dict(d["decommitment"]),
-            commitment=bytes.fromhex(d["commitment"]),
+            fri_witness=[_qm31_checked(f) for f in d["fri_witness"]],
+            decommitment=dec,
+            commitment=_commitment_checked(bytes.fromhex(d["commitment"])),
         )
 
 
@@ -65,7 +87,7 @@ class FriProof:
         return cls(
             first_layer=FriLayerProof.from_dict(d["first_layer"]),
             inner_layers=[FriLayerProof.from_dict(x) for x in d["inner_layers"]],
-            last_layer_poly=[tuple(f) for f in d["last_layer_poly"]],
+            last_layer_poly=[_qm31_checked(f) for f in d["last_layer_poly"]],
         )
 
 
@@ -94,12 +116,22 @@ class Proof:
 
     @classmethod
     def from_dict(cls, d):
+        try:
+            cfg = PcsConfig.from_dict(d["pcs_config"])
+        except AssertionError as e:  # config range asserts -> parse error
+            raise ValueError(f"invalid pcs_config: {e}") from e
+        pow_nonce = int(d["proof_of_work"])
+        log_size_bound = int(d["log_size_bound"])
+        if not (0 <= pow_nonce < (1 << 64)):
+            raise ValueError("proof_of_work out of u64 range")
+        if not (0 <= log_size_bound <= 48):
+            raise ValueError("log_size_bound out of range")
         return cls(
             proof=FriProof.from_dict(d["proof"]),
-            proof_of_work=d["proof_of_work"],
-            pcs_config=PcsConfig.from_dict(d["pcs_config"]),
-            log_size_bound=d["log_size_bound"],
-            evaluations=[tuple(f) for f in d["evaluations"]],
+            proof_of_work=pow_nonce,
+            pcs_config=cfg,
+            log_size_bound=log_size_bound,
+            evaluations=[_qm31_checked(f) for f in d["evaluations"]],
         )
 
     # -- compact binary wire format ----------------------------------------
@@ -156,7 +188,7 @@ class Proof:
 
         def r_qm31s():
             n = r_u32()
-            return [tuple(struct.unpack("<4I", r(16))) for _ in range(n)]
+            return [_qm31_checked(struct.unpack("<4I", r(16))) for _ in range(n)]
 
         def r_layer():
             commitment = r(32)
@@ -169,11 +201,16 @@ class Proof:
             raise ValueError("bad proof magic/version")
         pow_nonce = struct.unpack("<Q", r(8))[0]
         log_size_bound = r_u32()
+        if log_size_bound > 48:
+            raise ValueError("log_size_bound out of range")
         pow_bits = r_u32()
-        cfg = PcsConfig(
-            pow_bits=pow_bits,
-            fri_config=FriConfig(r_u32(), r_u32(), r_u32()),
-        )
+        try:
+            cfg = PcsConfig(
+                pow_bits=pow_bits,
+                fri_config=FriConfig(r_u32(), r_u32(), r_u32()),
+            )
+        except AssertionError as e:  # config range asserts -> parse error
+            raise ValueError(f"invalid pcs_config: {e}") from e
         first = r_layer()
         inner = [r_layer() for _ in range(r_u32())]
         last = r_qm31s()

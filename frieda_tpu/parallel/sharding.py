@@ -25,7 +25,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import fft, merkle
-from ..core.field import qm31_add, qm31_mul, qm31_mul_m31, qm31_sub
 
 
 def make_mesh(n_data: int | None = None, n_elem: int | None = None, devices=None) -> Mesh:
@@ -53,60 +52,74 @@ def _root_words(evals):
     return levels[-1][:, 0]
 
 
-def das_prover_step(coeffs, twiddles, ys_inv, xs_inv0, alpha0, alpha1):
-    """One full DAS prover device step for a single blob: low-degree extend,
-    Merkle-commit, circle->line FRI fold, commit the folded layer, line fold.
-    Returns (commit_root_words, layer1_root_words, folded_layer).
+def sharded_commit_and_prove(data: bytes, seed, pcs_config, mesh: Mesh):
+    """Full end-to-end FRI proof generation SPMD over the mesh's "elem" axis:
+    LDE, every per-layer Merkle tree, the device-channel transcript, the PoW
+    grind, query draws and the decommitment gathers all run under the real
+    sharding (reference behavior: /root/reference/src/proof.rs:28-77).
+    Returns (commitment, Proof), bit-identical to the single-device
+    core.fri.commit_and_generate_proof (tests/test_sharding.py)."""
+    from ..core import fri
 
-    This is the "training step" analogue the multi-chip dry-run exercises —
-    it touches every sharded kernel family (butterfly stages, batched hashing,
-    tree reduction, pairwise folds)."""
-    evals = fft.evaluate(coeffs, twiddles)
-    root0 = _root_words(evals)
-    a0 = tuple(alpha0[i] for i in range(4))
-    a1 = tuple(alpha1[i] for i in range(4))
-    half = evals.shape[1] // 2
-    fp = tuple(evals[i, :half] for i in range(4))
-    fm = tuple(evals[i, half:] for i in range(4))
-    f1 = qm31_mul_m31(qm31_sub(fp, fm), ys_inv)
-    g = jnp.stack(qm31_add(qm31_add(fp, fm), qm31_mul(a0, f1)))
-    root1 = _root_words(g)
-    quarter = half // 2
-    g0 = tuple(g[i, :quarter] for i in range(4))
-    g1 = tuple(g[i, quarter:] for i in range(4))
-    h1 = qm31_mul_m31(qm31_sub(g0, g1), xs_inv0)
-    g2 = jnp.stack(qm31_add(qm31_add(g0, g1), qm31_mul(a1, h1)))
-    return root0, root1, g2
-
-
-@functools.partial(jax.jit, static_argnums=(2,))
-def _batched_step(coeffs_b, consts, mesh: Mesh):
-    twiddles, ys_inv, xs_inv0, alpha0, alpha1 = consts
-    step = lambda c: das_prover_step(c, twiddles, ys_inv, xs_inv0, alpha0, alpha1)
-    r0, r1, g2 = jax.vmap(step)(coeffs_b)
-    # Keep the folded layer element-sharded, roots replicated per data shard.
-    g2 = jax.lax.with_sharding_constraint(
-        g2, NamedSharding(mesh, P("data", None, "elem"))
+    return fri._finish_proof(
+        fri._dispatch_commit_phase(data, seed, pcs_config, mesh=mesh)
     )
-    return r0, r1, g2
 
 
-def batched_prover_step(coeffs_b: jnp.ndarray, log_domain: int, mesh: Mesh):
-    """Batch of blobs (B, 4, 2^L) -> sharded full prover device step over the
-    (data, elem) mesh. Returns (roots0 (B, 8), roots1 (B, 8), folded)."""
-    from ..core.circle import get_twiddles
+def prove_many_sharded(datas, seeds, pcs_config, mesh: Mesh):
+    """Data-parallel + element-parallel batch proving: ONE SPMD dispatch of
+    the full FRI commit phase vmapped over the "data" mesh axis, each blob's
+    element axis sharded over "elem". Blobs must share a padded size; each
+    blob gets its own transcript/seed. Returns [(commitment, Proof)] in input
+    order, bit-identical to per-blob single-device proofs."""
+    from ..core import fri
+    from ..utils.packing import ceil_log2, polynomial_from_bytes
 
-    tw = get_twiddles(log_domain)
-    consts = (
-        tuple(fft.stage_twiddles(log_domain)),
-        jnp.asarray(tw.ys_inv),
-        jnp.asarray(tw.xs_layers_inv[0]),
-        jnp.arange(1, 5, dtype=jnp.uint32),
-        jnp.arange(5, 9, dtype=jnp.uint32),
+    datas = list(datas)
+    seeds = list(seeds)
+    if len(datas) != len(seeds):
+        raise ValueError(f"{len(datas)} blobs but {len(seeds)} seeds")
+    has_seed = [s is not None for s in seeds]
+    if any(has_seed) != all(has_seed):
+        raise ValueError("seeds must be all None or all set in one batch")
+    coeffs = [polynomial_from_bytes(d) for d in datas]
+    if len({c.shape for c in coeffs}) != 1:
+        raise ValueError("batch must share a padded size")
+
+    fri_cfg = pcs_config.fri_config
+    log_size = ceil_log2(coeffs[0].shape[1])
+    n = log_size + fri_cfg.log_blowup_factor
+    last_log = fri_cfg.log_last_layer_degree_bound + fri_cfg.log_blowup_factor
+    n_inner = n - 1 - last_log
+    if n_inner < 0:
+        raise ValueError("config unsatisfiable for this blob size")
+
+    fn = fri._fri_commit_fn(
+        log_size,
+        fri_cfg.log_blowup_factor,
+        fri_cfg.log_last_layer_degree_bound,
+        fri_cfg.n_queries,
+        pcs_config.pow_bits,
+        all(has_seed),
+        mesh,
+        batched=True,
     )
-    sharding = NamedSharding(mesh, P("data", None, "elem"))
-    coeffs_b = jax.device_put(coeffs_b, sharding)
-    return _batched_step(coeffs_b, consts, mesh)
+    coeffs_b = jax.device_put(
+        jnp.asarray(np.stack(coeffs)), NamedSharding(mesh, P("data", None, "elem"))
+    )
+    seed_vals = [0 if s is None else int(s) & ((1 << 64) - 1) for s in seeds]
+    outs = fn(
+        coeffs_b,
+        fft.bitrev_perm_device(log_size),
+        jnp.asarray([s & 0xFFFFFFFF for s in seed_vals], jnp.uint32),
+        jnp.asarray([s >> 32 for s in seed_vals], jnp.uint32),
+    )
+    return [
+        fri._finish_proof(
+            (tuple(o[i] for o in outs), pcs_config, log_size, n, n_inner)
+        )
+        for i in range(len(datas))
+    ]
 
 
 def commit_roots_batch(datas, log_blowup_factor: int, mesh: Mesh) -> list:

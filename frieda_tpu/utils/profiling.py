@@ -19,6 +19,7 @@ kernel saturates the hardware ceiling; no constant here affects correctness.
 from __future__ import annotations
 
 import contextlib
+import os
 import sys
 import time
 
@@ -46,9 +47,22 @@ def hbm_gbps() -> float:
     return _HBM_GBPS["v5e"]
 
 
+_SENTINEL = object()
+
+
+def spans_enabled() -> bool:
+    """Stderr span printing is opt-in (FRIEDA_SPANS=1); TraceAnnotations are
+    always emitted (they're free unless a jax.profiler trace is active)."""
+    return os.environ.get("FRIEDA_SPANS", "") not in ("", "0")
+
+
 @contextlib.contextmanager
-def span(name: str, out=sys.stderr):
-    """Wall-clock + profiler-trace span around a phase."""
+def span(name: str, out=_SENTINEL):
+    """Wall-clock + profiler-trace span around a phase. Prints to stderr when
+    FRIEDA_SPANS=1 (or an explicit `out` stream is passed); always annotates
+    the XLA profiler timeline."""
+    if out is _SENTINEL:
+        out = sys.stderr if spans_enabled() else None
     with jax.profiler.TraceAnnotation(name):
         t0 = time.perf_counter()
         try:
@@ -59,16 +73,33 @@ def span(name: str, out=sys.stderr):
                 print(f"[span] {name}: {dt * 1e3:.2f} ms", file=out, flush=True)
 
 
+def _fused_fft_passes(log_domain: int, log_l: int) -> int:
+    """HBM pass count of the fused Pallas path, derived from its actual pass
+    plan (ops/fft_pallas._pass_plan): 2 transposes around the low pass (when
+    one exists) + 1 low pass + one pass per mid group."""
+    from ..ops import fft_pallas
+
+    p_min, c0, groups = fft_pallas._pass_plan(log_domain, log_l)
+    has_low = c0 > p_min
+    return (3 if has_low else 0) + len(groups)
+
+
 def fft_roofline(log_domain: int, seconds: float, columns: int = 4,
-                 fused: bool = True) -> dict:
+                 fused: bool = True, log_l: int | None = None) -> dict:
     """Roofline for the low-degree extension of `columns` polys to 2^log_domain.
 
-    Fused four-step path (ops/fft_pallas.py): 2 transposes + 2 phase kernels
-    = 4 read+write passes over the (columns, 2^log_domain) uint32 table.
+    Fused bounded-VMEM path (ops/fft_pallas.py): 2 transposes + 1 low pass +
+    one pass per mid stage-group — derived from the real pass plan so the
+    byte accounting tracks the kernel (log_l = log coefficient count;
+    defaults to log_domain - 4, the reference blowup).
     XLA stage-loop path: one read+write pass per butterfly stage.
     """
     n_bytes_pass = columns * (1 << log_domain) * 4 * 2  # read + write
-    passes = 4 if fused else max(log_domain, 1)
+    if fused:
+        ll = log_l if log_l is not None else max(log_domain - 4, 1)
+        passes = max(_fused_fft_passes(log_domain, ll), 1)
+    else:
+        passes = max(log_domain, 1)
     bytes_moved = n_bytes_pass * passes
     achieved = bytes_moved / seconds / 1e9
     ceiling = hbm_gbps()
@@ -106,9 +137,9 @@ def merkle_roofline(log_leaves: int, seconds: float) -> dict:
     }
 
 
-def commit_roofline(log_domain: int, seconds: float) -> dict:
+def commit_roofline(log_domain: int, seconds: float, log_l: int | None = None) -> dict:
     """End-to-end commit = LDE + Merkle over the same table."""
-    fft = fft_roofline(log_domain, seconds)
+    fft = fft_roofline(log_domain, seconds, log_l=log_l)
     mk = merkle_roofline(log_domain, seconds)
     bytes_moved = fft["bytes_moved"] + mk["bytes_moved"]
     achieved = bytes_moved / seconds / 1e9

@@ -55,8 +55,12 @@ def test_bitrev():
     assert np.array_equal(out, arr[bitrev_permutation(4)])
 
 
-def test_hash_pair_matches_merkle():
-    from frieda_tpu.core.merkle import hash_pair
-
+def test_hash_pair_matches_spec_oracle():
+    """Compare native.hash_pair against the pure-Python spec compression
+    directly (merkle.hash_pair itself routes to native when available, so
+    going through it would compare native against itself)."""
     left, right = bytes(range(32)), bytes(range(32, 64))
-    assert native.hash_pair(left, right) == hash_pair(left, right)
+    m = [int.from_bytes(left[4 * i : 4 * i + 4], "little") for i in range(8)]
+    m += [int.from_bytes(right[4 * i : 4 * i + 4], "little") for i in range(8)]
+    expect = b"".join(int(w).to_bytes(4, "little") for w in sb.raw_compress(m))
+    assert native.hash_pair(left, right) == expect

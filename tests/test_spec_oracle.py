@@ -111,14 +111,43 @@ def test_commit_golden_blob(blob):
     assert sc.commit(blob, 4) == GOLDEN_BLOB_ROOT
 
 
-def test_commit_small_sizes_deterministic():
-    # Frozen small-size vectors generated by this oracle (regression guard
-    # for refactors; values asserted once the oracle matched the golden root).
-    data = bytes((i % 256) for i in range(256))
-    r1 = sc.commit(data, 1)
-    r4 = sc.commit(data, 4)
-    assert r1 != r4
-    assert sc.commit(data, 4) == r4  # deterministic
+# Frozen small-size golden vectors (SURVEY.md §4 test-plan item (b)).
+# Generated ONCE by this spec oracle — the same code path that reproduces the
+# reference's golden blob root (test_commit_golden_blob) — and hard-coded so
+# any refactor that changes a packing/FFT/ordering/hashing convention fails
+# here at CPU-test speed. data = bytes((i*7 + log_felts + blowup) % 256).
+SMALL_GOLDEN_ROOTS = [
+    # (log_felts, log_blowup, commit root hex)
+    (4, 2, "0d15e2eeaf9fd2e061fb89a75b34f9096546b374f498674b5bfb324bff802ff5"),
+    (6, 1, "4d4908c5d418d46b8a97eac5b5716fd87eb257fbccf1d882b96a7d3421f30941"),
+    (6, 2, "56759800e674de4bd137256575edbd743e5c3b22cbcff1c667f46ece364b6740"),
+    (6, 4, "47da0d1b2e6bc48aefd26f3f7eddf7c3734a694f7ee2390572ce5799f8b90701"),
+    (8, 2, "159b188278f547eea1630b8958466b5ec8777b8d5bc06f8d890cfa610550f04d"),
+    (8, 4, "eb154de4b58ded8ecb0c9c097fb97ce6924ac53c2a641cfc2bd1b78673947203"),
+    (10, 2, "3e1db0d82573807f77d0120df30d24d5446816854737e61058b039c89379f0eb"),
+    (10, 4, "14eaf39cdbe98ca728cf9f95cb3a8df7d776afcb3affa4a48c70d27660d349ea"),
+    (10, 8, "d6e42f1a4082ca12073a92bc650d9d984f7ad839beea9109ebc8b930849e95de"),
+    (12, 4, "5222213a38d66fbec5bb57d9a06cf998d7b2bd7eeb535295eef2a8a4c27dead2"),
+]
+
+
+def _small_golden_data(log_felts: int, blowup: int) -> bytes:
+    n_bytes = (1 << log_felts) * 30 // 8
+    return bytes((i * 7 + log_felts + blowup) % 256 for i in range(n_bytes))
+
+
+@pytest.mark.parametrize("log_felts,blowup,root_hex", SMALL_GOLDEN_ROOTS)
+def test_commit_small_sizes_frozen_oracle(log_felts, blowup, root_hex):
+    data = _small_golden_data(log_felts, blowup)
+    assert sc.commit(data, blowup) == bytes.fromhex(root_hex)
+
+
+@pytest.mark.parametrize("log_felts,blowup,root_hex", SMALL_GOLDEN_ROOTS)
+def test_commit_small_sizes_frozen_jax(log_felts, blowup, root_hex):
+    from frieda_tpu import api
+
+    data = _small_golden_data(log_felts, blowup)
+    assert api.commit(data, blowup) == bytes.fromhex(root_hex)
 
 
 if __name__ == "__main__":
