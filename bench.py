@@ -47,7 +47,7 @@ def bench_commit(log_felts: int, log_blowup: int = 4, iters: int = 5):
 
     from frieda_tpu import api
     from frieda_tpu.core import fft
-    from frieda_tpu.utils.packing import ceil_log2, polynomial_from_bytes
+    from frieda_tpu.utils.packing import log_total_for, pad_to_blocks
     from frieda_tpu.utils.profiling import commit_roofline
 
     n_bytes = (1 << log_felts) * 30 // 8
@@ -64,23 +64,24 @@ def bench_commit(log_felts: int, log_blowup: int = 4, iters: int = 5):
     # remote-attached chip block_until_ready does not actually block, so the
     # device phase is timed dispatch -> 32-byte root fetch (a true sync).
     t0 = time.perf_counter()
-    coeffs = polynomial_from_bytes(data)
+    raw = pad_to_blocks(data)
     t_host = time.perf_counter() - t0
-    log_size = ceil_log2(coeffs.shape[1])
+    log_total = log_total_for(len(data))
+    log_size = log_total - 2
     n = log_size + log_blowup
     tw = fft.stage_twiddles(n)
     perm = fft.bitrev_perm_device(log_size)
-    coeffs_d = jnp.asarray(coeffs)
-    jax.device_get(api._commit_root_pipeline(coeffs_d, perm, tw))  # warm
+    raw_d = jnp.asarray(raw)
+    jax.device_get(api._commit_root_pipeline(raw_d, perm, tw, log_total))  # warm
     t0 = time.perf_counter()
-    jax.device_get(api._commit_root_pipeline(coeffs_d, perm, tw))
+    jax.device_get(api._commit_root_pipeline(raw_d, perm, tw, log_total))
     t_dev = time.perf_counter() - t0
     rf = commit_roofline(n, t_dev)
     log(
-        f"  breakdown 2^{log_felts}: host ingest {t_host*1e3:.1f} ms, device "
-        f"dispatch->root fetch {t_dev*1e3:.1f} ms ({rf['achieved_gbps']:.0f} "
+        f"  breakdown 2^{log_felts}: host ingest (memcpy) {t_host*1e3:.1f} ms, "
+        f"device dispatch->root fetch {t_dev*1e3:.1f} ms ({rf['achieved_gbps']:.0f} "
         f"GB/s, {rf['sol_fraction']*100:.0f}% of HBM SoL incl. round trip); "
-        f"residual = coefficient upload"
+        f"residual = raw byte upload"
     )
     return n_felts / dt, dt
 
@@ -94,18 +95,19 @@ def bench_commit_pipelined(log_felts: int, log_blowup: int = 4, k: int = 8):
 
     from frieda_tpu import api
     from frieda_tpu.core import fft
-    from frieda_tpu.utils.packing import ceil_log2, polynomial_from_bytes
+    from frieda_tpu.utils.packing import log_total_for, pad_to_blocks
 
     n_bytes = (1 << log_felts) * 30 // 8
-    coeffs = [
-        polynomial_from_bytes(synthetic_data(n_bytes, seed=i)) for i in range(k)
-    ]
-    log_size = ceil_log2(coeffs[0].shape[1])
+    raws = [pad_to_blocks(synthetic_data(n_bytes, seed=i)) for i in range(k)]
+    log_total = log_total_for(n_bytes)
+    log_size = log_total - 2
     tw = fft.stage_twiddles(log_size + log_blowup)
     perm = fft.bitrev_perm_device(log_size)
-    jax.device_get(api._commit_root_pipeline(jnp.asarray(coeffs[0]), perm, tw))
+    jax.device_get(api._commit_root_pipeline(jnp.asarray(raws[0]), perm, tw, log_total))
     t0 = time.perf_counter()
-    futs = [api._commit_root_pipeline(jnp.asarray(c), perm, tw) for c in coeffs]
+    futs = [
+        api._commit_root_pipeline(jnp.asarray(r), perm, tw, log_total) for r in raws
+    ]
     roots = jax.device_get(futs)
     dt = (time.perf_counter() - t0) / k
     assert len({bytes(np.asarray(r)) for r in roots}) == k  # distinct blobs

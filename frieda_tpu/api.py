@@ -19,27 +19,30 @@ import numpy as np
 
 from .config import DEFAULT_CONFIG, PcsConfig  # noqa: F401  (re-export)
 from .core import fft, merkle
-from .utils.packing import ceil_log2, polynomial_from_bytes
+from .utils.packing import device_unpack, log_total_for, pad_to_blocks
 
 Commitment = bytes  # 32-byte Merkle root ([u8; 32] in the reference)
 
 
-@functools.partial(jax.jit, static_argnums=())
-def _commit_pipeline(coeffs, perm, twiddles):
-    """Natural-order coeffs (4, 2^L) -> (evals (4, 2^n), wide merkle levels).
-    The coefficient bit-reversal is a device gather (fused by XLA into the
-    dilation broadcast) — far cheaper than a host-side numpy gather."""
+@functools.partial(jax.jit, static_argnums=(3,))
+def _commit_pipeline(raw, perm, twiddles, log_total):
+    """Raw padded bytes (n_blocks*15,) uint8 -> (evals (4, 2^n), wide merkle
+    levels). Byte->felt unpack, coefficient bit-reversal (a device gather XLA
+    fuses into the dilation broadcast), LDE and hashing are ONE dispatch; the
+    host uploads bytes, not felts."""
+    coeffs = device_unpack(raw, log_total)
     evals = fft.evaluate_auto(fft.apply_bitrev(coeffs, perm), twiddles)
     dlevels = merkle.device_levels(evals)
     return evals, dlevels
 
 
-@functools.partial(jax.jit, static_argnums=())
-def _commit_root_pipeline(coeffs, perm, twiddles):
-    """Natural-order coeffs -> (8, <=2^HOST_CUTOFF_LOG) top device level. One
+@functools.partial(jax.jit, static_argnums=(3,))
+def _commit_root_pipeline(raw, perm, twiddles, log_total):
+    """Raw padded bytes -> (8, <=2^HOST_CUTOFF_LOG) top device level. One
     dispatch + one small fetch (<= 2 KB, still a single round trip); the last
     ~HOST_CUTOFF_LOG narrow tree levels are pure dispatch/compile overhead on
     TPU, so they finish on host via the native runtime (merkle.py:35)."""
+    coeffs = device_unpack(raw, log_total)
     evals = fft.evaluate_auto(fft.apply_bitrev(coeffs, perm), twiddles)
     levels = merkle.device_levels(evals)
     return levels[-1]
@@ -57,12 +60,14 @@ def commit_with_tree(data: bytes, log_blowup_factor: int):
     """Full commit pipeline; returns (root_bytes, evals, CommitTree,
     log_domain_size). Shared by the FRI prover (the FRI first layer *is* the
     commitment — src/proof.rs:126-135)."""
-    coeffs = polynomial_from_bytes(data)
-    log_size = ceil_log2(coeffs.shape[1])
+    log_total = log_total_for(len(data))
+    log_size = log_total - 2
     n = log_size + log_blowup_factor
     twiddles = fft.stage_twiddles(n)
     perm = fft.bitrev_perm_device(log_size)
-    evals, dlevels = _commit_pipeline(jnp.asarray(coeffs), perm, twiddles)
+    evals, dlevels = _commit_pipeline(
+        jnp.asarray(pad_to_blocks(data)), perm, twiddles, log_total
+    )
     tree = merkle.CommitTree(dlevels, n)
     return tree.root, evals, tree, n
 
@@ -72,13 +77,16 @@ def commit(data: bytes, log_blowup_factor: int) -> Commitment:
     from .utils.profiling import span
 
     with span("commit/ingest"):
-        coeffs = polynomial_from_bytes(data)
-        log_size = ceil_log2(coeffs.shape[1])
+        raw = pad_to_blocks(data)  # one memcpy; unpack happens on device
+        log_total = log_total_for(len(data))
+        log_size = log_total - 2
         n = log_size + log_blowup_factor
         twiddles = fft.stage_twiddles(n)
         perm = fft.bitrev_perm_device(log_size)
-    with span("commit/device(lde+merkle)"):
-        top = jax.device_get(_commit_root_pipeline(jnp.asarray(coeffs), perm, twiddles))
+    with span("commit/device(unpack+lde+merkle)"):
+        top = jax.device_get(
+            _commit_root_pipeline(jnp.asarray(raw), perm, twiddles, log_total)
+        )
     with span("commit/host_tree_top"):
         return _finish_root(top)
 

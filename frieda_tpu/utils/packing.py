@@ -38,6 +38,51 @@ def bytes_to_felts(data: bytes) -> np.ndarray:
     return felts[:n_felts]
 
 
+def pad_to_blocks(data: bytes) -> np.ndarray:
+    """Raw bytes zero-padded to whole 15-byte blocks (>= 1 block), flat uint8.
+    This is the ONLY host-side ingest work on the device-unpack path: one
+    memcpy, no bit manipulation. All felts at index >= ceil(8*len/30) decode
+    from padding bytes only, so they are zero by construction."""
+    n_blocks = max(-(-len(data) // 15), 1)
+    buf = np.zeros(n_blocks * 15, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    return buf
+
+
+def log_total_for(data_len: int) -> int:
+    """log2 of the padded felt count for a data blob (src/utils.rs:23 .max(2)
+    quirk included): max(ceil_log2(ceil(8*len/30)), 2)."""
+    n_felts = -(-(8 * data_len) // 30)
+    return max(ceil_log2(max(n_felts, 1)), 2)
+
+
+def device_unpack(blocks_u8, log_total: int):
+    """Device-side byte->felt ingest: the 15-byte/4-felt block trick as one
+    elementwise jnp pass (jit-traceable; shapes static). blocks_u8: flat
+    (n_blocks*15,) uint8 device array from pad_to_blocks. Returns natural-order
+    coefficients (4, 2^log_total / 4) uint32 — bit-exact with
+    polynomial_from_bytes (tests/test_commit_jax.py).
+
+    Replaces the host packer + uint32 upload on single-chip hot paths: the
+    host->device transfer shrinks 32/30x and the unpack shifts run at HBM
+    bandwidth instead of host memcpy speed (VERDICT round 1, item 2)."""
+    import jax.numpy as jnp
+
+    b = blocks_u8.reshape(-1, 15).astype(jnp.uint32)
+    f0 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | ((b[:, 3] & 0x3F) << 24)
+    f1 = (b[:, 3] >> 6) | (b[:, 4] << 2) | (b[:, 5] << 10) | (b[:, 6] << 18) | ((b[:, 7] & 0x0F) << 26)
+    f2 = (b[:, 7] >> 4) | (b[:, 8] << 4) | (b[:, 9] << 12) | (b[:, 10] << 20) | ((b[:, 11] & 0x03) << 28)
+    f3 = (b[:, 11] >> 2) | (b[:, 12] << 6) | (b[:, 13] << 14) | (b[:, 14] << 22)
+    felts = jnp.stack([f0, f1, f2, f3], axis=1).reshape(-1)
+    total = 1 << log_total
+    k = felts.shape[0]
+    if k >= total:
+        felts = felts[:total]
+    else:
+        felts = jnp.pad(felts, (0, total - k))
+    return felts.reshape(4, total // 4)
+
+
 def ceil_log2(n: int) -> int:
     """Exact integer ceil(log2(n)), n >= 1. (The reference uses f64 log2 at
     src/utils.rs:23, exact for every reachable size < 2^49.)"""
