@@ -97,8 +97,10 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
     Merkle tops / folds whose stride crosses the shard boundary, and the
     (tiny, replicated) device channel serializes the transcript exactly as on
     one chip — so the sharded proof is bit-identical to the single-chip one
-    (tests/test_sharding.py). The fused Pallas FFT does not auto-partition;
-    sharded compiles use the XLA stage loop."""
+    (tests/test_sharding.py). Single-blob sharded dispatches route the LDE
+    through the shard_map fused path (parallel/fft_sharded.py: local fused
+    Pallas passes + ppermute for the cross-shard stages); batched (vmapped)
+    dispatches keep the auto-sharded XLA stage loop."""
     from . import device_channel as dc
     from . import fft
 
@@ -129,7 +131,12 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         def replicate(x):
             return jax.lax.with_sharding_constraint(x, replicated)
 
-        evaluate = fft.evaluate
+        if not batched:
+            from ..parallel.fft_sharded import sharded_evaluate
+
+            evaluate = lambda c, tw: sharded_evaluate(c, n, mesh)  # noqa: E731
+        else:
+            evaluate = fft.evaluate
     else:
         shard_elem = lambda x: x  # noqa: E731
         replicate = lambda x: x  # noqa: E731

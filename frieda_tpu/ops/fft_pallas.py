@@ -155,19 +155,27 @@ def _pass_plan(n: int, log_l: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _twiddle_tables(n: int, log_l: int):
+def _twiddle_tables(n: int, log_l: int, n_tw: int | None = None):
     """Twiddle tables per pass, as NUMPY arrays. Low pass: [(blk, 1)] per
     stage. Mid groups: [[(rows, lo)] per stage] (BlockSpec slices lanes).
+
+    `n_tw` (default n): log size of the DOMAIN the twiddles come from. The
+    sharded FFT (parallel/fft_sharded.py) runs these kernels on a local
+    2^n-element shard of a 2^n_tw-element domain — the stage at bit p then
+    needs the full domain's table (length 2^p, identical on every shard
+    because it is indexed j mod 2^p and shard offsets are multiples of the
+    local size >= 2^p).
 
     Numpy (not jnp) on purpose: this cache is populated during jit tracing,
     and jnp arrays created inside a trace can be tracer-backed — caching them
     leaks tracers into later traces (UnexpectedTracerError). Numpy constants
     are staged fresh by each pallas_call."""
-    tw = hostcircle.get_twiddles(n)
+    n_tw = n if n_tw is None else n_tw
+    tw = hostcircle.get_twiddles(n_tw)
     p_min, c0, groups = _pass_plan(n, log_l)
 
     def table(p):  # natural-order twiddles for distance-2^p stage, length 2^p
-        return np.asarray(tw.eval_stage_twiddle(n - 1 - p))
+        return np.asarray(tw.eval_stage_twiddle(n_tw - 1 - p))
 
     low_tabs = []
     if c0 > p_min:
@@ -265,13 +273,17 @@ def supported(n: int, log_l: int) -> bool:
     return all((1 << b) >= LANES for b, _ in groups)
 
 
-def evaluate_fused(coeffs_rev: jnp.ndarray, n: int, interpret: bool = False):
-    """Drop-in fused equivalent of core/fft.evaluate for log domain size n."""
+def evaluate_fused(coeffs_rev: jnp.ndarray, n: int, interpret: bool = False,
+                   n_tw: int | None = None):
+    """Drop-in fused equivalent of core/fft.evaluate for log domain size n.
+    With `n_tw > n` this computes the LOCAL (lowest-n-bits) stages of a
+    2^n_tw-size transform on one contiguous 2^n-element shard (see
+    _twiddle_tables)."""
     C, L_len = coeffs_rev.shape
     N = 1 << n
     log_l = L_len.bit_length() - 1
     p_min, c0, groups = _pass_plan(n, log_l)
-    low_tabs, mid_tabs = _twiddle_tables(n, log_l)
+    low_tabs, mid_tabs = _twiddle_tables(n, log_l, n_tw)
 
     if L_len < N:  # Reed-Solomon dilation broadcast (bits [0, p_min) copies)
         w = jnp.broadcast_to(

@@ -152,17 +152,21 @@ def commit_roots_batch(datas, log_blowup_factor: int, mesh: Mesh) -> list:
 
 def sharded_commit_root(coeffs: jnp.ndarray, log_domain: int, mesh: Mesh):
     """Element-axis-sharded commit of a single blob (4, 2^L) -> (8,) root
-    words, matching the single-chip root bit-exactly."""
-    twiddles = tuple(fft.stage_twiddles(log_domain))
+    words, matching the single-chip root bit-exactly. The LDE runs as the
+    shard_map fused path (local fused Pallas passes on TPU + ppermute for the
+    cross-shard stages, parallel/fft_sharded.py); the Merkle reduction stays
+    auto-sharded (XLA inserts the tree-top collectives)."""
+    from .fft_sharded import sharded_evaluate
+
     sharding = NamedSharding(mesh, P(None, "elem"))
     coeffs = jax.device_put(coeffs, sharding)
 
     @jax.jit
-    def run(c, tw):
-        evals = fft.evaluate(c, tw)
+    def run(c):
+        evals = sharded_evaluate(c, log_domain, mesh)
         evals = jax.lax.with_sharding_constraint(
             evals, NamedSharding(mesh, P(None, "elem"))
         )
         return _root_words(evals)
 
-    return run(coeffs, twiddles)
+    return run(coeffs)

@@ -76,3 +76,66 @@ def test_commit_batch_api():
     roots = sharding.commit_roots_batch(datas, LOG_BLOWUP, mesh)
     for d, r in zip(datas, roots):
         assert r == api.commit(d, LOG_BLOWUP)
+
+
+@pytest.mark.parametrize("n_elem", [1, 2, 4, 8])
+def test_shard_map_fft_bit_exact(n_elem):
+    """The shard_map fused-FFT path (parallel/fft_sharded.py: local passes +
+    ppermute cross-shard stages) must be bit-exact with the XLA stage loop
+    for every shard count, including with the Reed-Solomon dilation."""
+    from frieda_tpu.parallel import fft_sharded
+
+    rng = np.random.default_rng(3)
+    for log_l, n in [(8, 12), (5, 9)]:
+        coeffs = rng.integers(0, (1 << 31) - 1, (4, 1 << log_l), dtype=np.uint32)
+        cr = jnp.asarray(fft.bitrev_coeffs(coeffs))
+        ref = np.asarray(fft.evaluate(cr, fft.stage_twiddles(n)))
+        mesh = sharding.make_mesh(n_data=1, n_elem=n_elem)
+        out = np.asarray(fft_sharded.sharded_evaluate(cr, n, mesh))
+        assert (out == ref).all(), (log_l, n, n_elem)
+
+
+def test_shard_map_fft_pallas_interpret():
+    """Fused Pallas kernels INSIDE shard_map (interpret mode on CPU) — the
+    exact program a real multi-chip TPU slice runs — stay bit-exact."""
+    from frieda_tpu.parallel import fft_sharded
+
+    rng = np.random.default_rng(4)
+    log_l, n = 12, 15
+    coeffs = rng.integers(0, (1 << 31) - 1, (4, 1 << log_l), dtype=np.uint32)
+    cr = jnp.asarray(fft.bitrev_coeffs(coeffs))
+    ref = np.asarray(fft.evaluate(cr, fft.stage_twiddles(n)))
+    mesh = sharding.make_mesh(n_data=1, n_elem=2)
+    out = np.asarray(fft_sharded.sharded_evaluate(cr, n, mesh, interpret=True))
+    assert (out == ref).all()
+
+
+@pytest.mark.parametrize("n_elem", [2, 8])
+def test_sharded_commit_root_large_domain(n_elem):
+    """Mesh-shape sweep at a 2^20 domain (VERDICT r1 item 5): the sharded
+    commit pipeline stays bit-exact at BASELINE-scale shapes, not just the
+    small conformance sizes."""
+    rng = np.random.default_rng(5)
+    log_l, n = 16, 20
+    coeffs = rng.integers(0, (1 << 31) - 1, (4, 1 << log_l), dtype=np.uint32)
+    cr = jnp.asarray(fft.bitrev_coeffs(coeffs))
+    mesh = sharding.make_mesh(n_data=1, n_elem=n_elem)
+    words = sharding.sharded_commit_root(cr, n, mesh)
+    ref = sharding.sharded_commit_root(
+        cr, n, sharding.make_mesh(n_data=1, n_elem=1)
+    )
+    assert _root_bytes(words) == _root_bytes(ref)
+
+
+def test_multihost_helpers_single_process():
+    """multihost module: single-process fallbacks are exact no-ops and the
+    mesh helper builds over all devices."""
+    from frieda_tpu.parallel import multihost
+
+    assert multihost.initialize() is False  # no coordinator info: no-op
+    assert multihost.broadcast_from_host0(b"abc") == b"abc"
+    arr = np.arange(5)
+    assert (multihost.broadcast_from_host0(arr) == arr).all()
+    multihost.assert_same_across_hosts(b"xyz")  # must not raise
+    mesh = multihost.global_mesh(n_data=2, n_elem=4)
+    assert mesh.shape == {"data": 2, "elem": 4}
