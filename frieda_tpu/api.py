@@ -19,31 +19,29 @@ import numpy as np
 
 from .config import DEFAULT_CONFIG, PcsConfig  # noqa: F401  (re-export)
 from .core import fft, merkle
-from .utils.packing import device_unpack, log_total_for, pad_to_blocks
+from .utils.packing import device_ingest_rev, log_total_for, pad_to_words
 
 Commitment = bytes  # 32-byte Merkle root ([u8; 32] in the reference)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _commit_pipeline(raw, perm, twiddles, log_total):
-    """Raw padded bytes (n_blocks*15,) uint8 -> (evals (4, 2^n), wide merkle
-    levels). Byte->felt unpack, coefficient bit-reversal (a device gather XLA
-    fuses into the dilation broadcast), LDE and hashing are ONE dispatch; the
-    host uploads bytes, not felts."""
-    coeffs = device_unpack(raw, log_total)
-    evals = fft.evaluate_auto(fft.apply_bitrev(coeffs, perm), twiddles)
+@functools.partial(jax.jit, static_argnums=(2,))
+def _commit_pipeline(words, twiddles, log_total):
+    """Raw uint32 words (pad_to_words) -> (evals (4, 2^n), wide merkle
+    levels). Byte->felt unpack + coefficient bit-reversal fuse into one
+    gather (device_ingest_rev); LDE and hashing are ONE dispatch; the host
+    uploads bytes, not felts."""
+    evals = fft.evaluate_auto(device_ingest_rev(words, log_total - 2), twiddles)
     dlevels = merkle.device_levels(evals)
     return evals, dlevels
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _commit_root_pipeline(raw, perm, twiddles, log_total):
-    """Raw padded bytes -> (8, <=2^HOST_CUTOFF_LOG) top device level. One
+@functools.partial(jax.jit, static_argnums=(2,))
+def _commit_root_pipeline(words, twiddles, log_total):
+    """Raw uint32 words -> (8, <=2^HOST_CUTOFF_LOG) top device level. One
     dispatch + one small fetch (<= 2 KB, still a single round trip); the last
     ~HOST_CUTOFF_LOG narrow tree levels are pure dispatch/compile overhead on
     TPU, so they finish on host via the native runtime (merkle.py:35)."""
-    coeffs = device_unpack(raw, log_total)
-    evals = fft.evaluate_auto(fft.apply_bitrev(coeffs, perm), twiddles)
+    evals = fft.evaluate_auto(device_ingest_rev(words, log_total - 2), twiddles)
     levels = merkle.device_levels(evals)
     return levels[-1]
 
@@ -64,9 +62,8 @@ def commit_with_tree(data: bytes, log_blowup_factor: int):
     log_size = log_total - 2
     n = log_size + log_blowup_factor
     twiddles = fft.stage_twiddles(n)
-    perm = fft.bitrev_perm_device(log_size)
     evals, dlevels = _commit_pipeline(
-        jnp.asarray(pad_to_blocks(data)), perm, twiddles, log_total
+        jnp.asarray(pad_to_words(data, log_total)), twiddles, log_total
     )
     tree = merkle.CommitTree(dlevels, n)
     return tree.root, evals, tree, n
@@ -77,15 +74,13 @@ def commit(data: bytes, log_blowup_factor: int) -> Commitment:
     from .utils.profiling import span
 
     with span("commit/ingest"):
-        raw = pad_to_blocks(data)  # one memcpy; unpack happens on device
+        words = pad_to_words(data, log_total_for(len(data)))  # one memcpy
         log_total = log_total_for(len(data))
-        log_size = log_total - 2
-        n = log_size + log_blowup_factor
+        n = log_total - 2 + log_blowup_factor
         twiddles = fft.stage_twiddles(n)
-        perm = fft.bitrev_perm_device(log_size)
     with span("commit/device(unpack+lde+merkle)"):
         top = jax.device_get(
-            _commit_root_pipeline(jnp.asarray(raw), perm, twiddles, log_total)
+            _commit_root_pipeline(jnp.asarray(words), twiddles, log_total)
         )
     with span("commit/host_tree_top"):
         return _finish_root(top)

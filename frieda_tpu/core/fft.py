@@ -37,13 +37,32 @@ from .field import m31_add, m31_mul, m31_sub
 
 
 @functools.lru_cache(maxsize=16)
-def stage_twiddles(log_size: int) -> tuple:
-    """Device twiddle tables for `evaluate`, index d = depth (0 = y stage),
-    natural order, sizes 2^(n-1-d). Cached per log_size."""
+def _stage_twiddles_np(log_size: int) -> tuple:
     tw = hostcircle.get_twiddles(log_size)
     return tuple(
-        jnp.asarray(tw.eval_stage_twiddle(d), jnp.uint32) for d in range(log_size)
+        np.asarray(tw.eval_stage_twiddle(d), np.uint32) for d in range(log_size)
     )
+
+
+_stage_twiddles_dev: dict = {}
+
+
+def stage_twiddles(log_size: int) -> tuple:
+    """Device twiddle tables for `evaluate`, index d = depth (0 = y stage),
+    natural order, sizes 2^(n-1-d). Cached per log_size.
+
+    Safe to call inside a jit trace: the tables become trace constants there
+    and are NOT cached (caching a tracer would leak it into later traces —
+    jax.errors.UnexpectedTracerError); the device-array cache only ever holds
+    concrete arrays."""
+    cached = _stage_twiddles_dev.get(log_size)
+    if cached is not None:
+        return cached
+    vals = tuple(jnp.asarray(t) for t in _stage_twiddles_np(log_size))
+    if any(isinstance(v, jax.core.Tracer) for v in vals):
+        return vals  # inside a trace: constants for this trace only
+    _stage_twiddles_dev[log_size] = vals
+    return vals
 
 
 def bitrev_coeffs(coeffs: np.ndarray) -> np.ndarray:
@@ -53,13 +72,23 @@ def bitrev_coeffs(coeffs: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.take(coeffs, hostcircle.bitrev_permutation(log_l), axis=-1))
 
 
-@functools.lru_cache(maxsize=16)
+_bitrev_perm_dev: dict = {}
+
+
 def bitrev_perm_device(log_l: int) -> jnp.ndarray:
     """Device-resident bit-reversal index (int32), cached per log size.
     Single-chip hot paths upload NATURAL-order coefficients and apply the
     permutation as a device gather (XLA fuses it into the dilation
-    broadcast) — ~100x cheaper than the host-side numpy gather at 2^20+."""
-    return jnp.asarray(hostcircle.bitrev_permutation(log_l).astype(np.int32))
+    broadcast) — ~100x cheaper than the host-side numpy gather at 2^20+.
+    Trace-safe like stage_twiddles: tracers are never cached."""
+    cached = _bitrev_perm_dev.get(log_l)
+    if cached is not None:
+        return cached
+    val = jnp.asarray(hostcircle.bitrev_permutation(log_l).astype(np.int32))
+    if isinstance(val, jax.core.Tracer):
+        return val
+    _bitrev_perm_dev[log_l] = val
+    return val
 
 
 def apply_bitrev(coeffs: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:

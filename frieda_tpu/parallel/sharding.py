@@ -115,9 +115,7 @@ def prove_many_sharded(datas, seeds, pcs_config, mesh: Mesh):
         jnp.asarray([s >> 32 for s in seed_vals], jnp.uint32),
     )
     return [
-        fri._finish_proof(
-            (tuple(o[i] for o in outs), pcs_config, log_size, n, n_inner)
-        )
+        fri._finish_proof((outs[i], pcs_config, log_size, n, n_inner))
         for i in range(len(datas))
     ]
 

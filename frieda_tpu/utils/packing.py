@@ -83,6 +83,45 @@ def device_unpack(blocks_u8, log_total: int):
     return felts.reshape(4, total // 4)
 
 
+def pad_to_words(data: bytes, log_total: int) -> np.ndarray:
+    """Little-endian uint32 word view of `data`, zero-padded so that every
+    felt's (lo, hi) word pair is in range for device_ingest_rev:
+    ceil(30*2^log_total / 32) + 1 words. One host memcpy, no bit work."""
+    total = 1 << log_total
+    nw = (30 * total + 31) // 32 + 1
+    buf = np.zeros(nw * 4, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    return buf.view("<u4")
+
+
+def device_ingest_rev(words, log_size: int):
+    """Fused device ingest: uint32 words (pad_to_words, log_total =
+    log_size + 2) -> (4, 2^log_size) *bit-reversed-order* coefficients, ready
+    for fft.evaluate. The 30-bit LSB-first extraction (SURVEY.md A.1) and the
+    coefficient bit-reversal collapse into ONE gather pair (lo/hi word) plus
+    fused elementwise shifts — no uint8 minor-dim-15 relayout, no separate
+    permutation gather. Bit-exact with
+    fft.apply_bitrev(device_unpack(...), perm) (tests/test_commit_jax.py).
+    Valid for log_size + 2 <= 27 (30*f must fit uint32)."""
+    import jax.numpy as jnp
+
+    assert log_size + 2 <= 27
+    L = 1 << log_size
+    k = jnp.arange(L, dtype=jnp.uint32)
+    rk = jnp.zeros_like(k)
+    for i in range(log_size):
+        rk = rk | (((k >> i) & jnp.uint32(1)) << (log_size - 1 - i))
+    f = jnp.arange(4, dtype=jnp.uint32)[:, None] * jnp.uint32(L) + rk[None, :]
+    bit = jnp.uint32(30) * f
+    idx = (bit >> 5).astype(jnp.int32)
+    sh = bit & jnp.uint32(31)
+    lo = words[idx]
+    hi = words[idx + 1]
+    high = jnp.where(sh > 2, hi << ((jnp.uint32(32) - sh) & jnp.uint32(31)),
+                     jnp.uint32(0))
+    return ((lo >> sh) | high) & jnp.uint32((1 << 30) - 1)
+
+
 def ceil_log2(n: int) -> int:
     """Exact integer ceil(log2(n)), n >= 1. (The reference uses f64 log2 at
     src/utils.rs:23, exact for every reachable size < 2^49.)"""

@@ -25,6 +25,26 @@ def test_commit_matches_oracle(size, log_blowup):
     assert api.commit(data, log_blowup) == sc.commit(data, log_blowup)
 
 
+@pytest.mark.parametrize("size", [0, 1, 15, 59, 60, 61, 1024, 9999])
+def test_device_ingest_rev_matches_host_path(size):
+    """Fused word-gather ingest == host packer + bit-reversal, all sizes."""
+    import jax.numpy as jnp
+
+    from frieda_tpu.core import fft
+
+    rng = np.random.default_rng(size)
+    data = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+    log_total = packing.log_total_for(len(data))
+    log_size = log_total - 2
+    expect = fft.bitrev_coeffs(packing.polynomial_from_bytes(data))
+    got = np.asarray(
+        packing.device_ingest_rev(
+            jnp.asarray(packing.pad_to_words(data, log_total)), log_size
+        )
+    )
+    assert np.array_equal(got, expect)
+
+
 @pytest.mark.slow
 def test_commit_golden_blob_jax(blob):
     # The reference's golden vector (src/commit.rs:28-38) on the JAX path.
