@@ -129,8 +129,12 @@ def bench_commit_pipelined(log_felts: int, log_blowup: int = 4, k: int = 8):
 
 def main():
     log(f"devices: {jax.devices()}")
+    # FRIEDA_BENCH_SMOKE=1: tiny sizes for CI schema checks on CPU runners.
+    smoke = os.environ.get("FRIEDA_BENCH_SMOKE", "") not in ("", "0")
+    commit_sizes = (10, 12) if smoke else (16, 20, 22)
+    pipe_sizes = (12,) if smoke else (20, 22)
     results = {}
-    for log_felts in (16, 20, 22):
+    for log_felts in commit_sizes:
         try:
             tput, dt = bench_commit(log_felts)
             results[log_felts] = (tput, dt)
@@ -139,7 +143,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"commit 2^{log_felts} failed: {e}")
     pipelined = {}
-    for log_felts in (20, 22):
+    for log_felts in pipe_sizes:
         try:
             tput, dt = bench_commit_pipelined(log_felts)
             pipelined[log_felts] = (tput, dt)
@@ -153,7 +157,7 @@ def main():
         from frieda_tpu import api
         from frieda_tpu.config import DEFAULT_CONFIG
 
-        data = synthetic_data(262146)
+        data = synthetic_data(4096 if smoke else 262146)
         api.commit_and_prove(data, len(data), DEFAULT_CONFIG)  # warm up / compile
         t_prove, (_, proof) = median_time(
             lambda: api.commit_and_prove(data, len(data), DEFAULT_CONFIG), 5

@@ -171,7 +171,11 @@ def evaluate_auto(coeffs_rev: jnp.ndarray, twiddles) -> jnp.ndarray:
         from ..ops import fft_pallas
 
         if fft_pallas.supported(n, log_l):
-            return fft_pallas.evaluate_fused(coeffs_rev, n)
+            # pass tables as runtime views of the twiddle args — staging them
+            # as HLO constants breaks AOT compiles at n >= 24 (100s of MB)
+            return fft_pallas.evaluate_fused(
+                coeffs_rev, n, table_for_bit=lambda p: twiddles[n - 1 - p]
+            )
     return evaluate(coeffs_rev, twiddles)
 
 

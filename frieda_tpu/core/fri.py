@@ -90,6 +90,10 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
                    pow_bits: int, has_seed: bool, mesh=None,
                    batched: bool = False, device_ingest: bool = False):
     """Build + jit the single-dispatch FRI commit phase for one config.
+    Returns (fn, tables): call fn(coeffs, perm, seed_lo, seed_hi, *tables).
+    The twiddle/fold tables ride as RUNTIME arguments — closed-over device
+    arrays would be staged as HLO constants, whose size (3 x 2^(n-1) words)
+    breaks the remote AOT compile at n >= 24.
 
     With `mesh` (a jax.sharding.Mesh with an "elem" axis) the SAME program is
     compiled SPMD: every layer keeps its element axis sharded over the mesh
@@ -142,7 +146,7 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         replicate = lambda x: x  # noqa: E731
         evaluate = fft.evaluate_auto
 
-    def fold_c(evals, alpha):
+    def fold_c(evals, alpha, ys_inv):
         half = evals.shape[1] // 2
         fp = tuple(evals[i, :half] for i in range(4))
         fm = tuple(evals[i, half:] for i in range(4))
@@ -150,17 +154,17 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         f1 = qm31_mul_m31(qm31_sub(fp, fm), ys_inv)
         return jnp.stack(qm31_add(qm31_add(fp, fm), qm31_mul(a, f1)))
 
-    def fold_l(g, alpha, layer):
+    def fold_l(g, alpha, xs_inv):
         half = g.shape[1] // 2
         g0 = tuple(g[i, :half] for i in range(4))
         g1 = tuple(g[i, half:] for i in range(4))
         a = tuple(alpha[i] for i in range(4))
-        f1 = qm31_mul_m31(qm31_sub(g0, g1), xs_invs[layer])
+        f1 = qm31_mul_m31(qm31_sub(g0, g1), xs_inv)
         return jnp.stack(qm31_add(qm31_add(g0, g1), qm31_mul(a, f1)))
 
     sizes = [n] + [n - 1 - l for l in range(n_inner)]
 
-    def run(coeffs, perm, seed_lo, seed_hi):
+    def run(coeffs, perm, seed_lo, seed_hi, twiddles, ys_inv, xs_invs):
         if device_ingest:
             # `coeffs` is the raw uint32 word stream (pad_to_words); the
             # byte->felt unpack and the coefficient bit-reversal fuse into
@@ -177,7 +181,7 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         root0 = merkle.device_levels(evals, cutoff_log=0)[-1][:, 0]
         digest = dc.dc_mix_digest(digest, root0)
         alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))
-        g = shard_elem(fold_c(evals, alpha))
+        g = shard_elem(fold_c(evals, alpha, ys_inv))
         roots = [root0]
         layer_arrays = [evals]
         for l in range(n_inner):
@@ -186,7 +190,7 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
             alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))
             roots.append(root_l)
             layer_arrays.append(g)
-            g = shard_elem(fold_l(g, alpha, l))
+            g = shard_elem(fold_l(g, alpha, xs_invs[l]))
         # The last layer is tiny (<= 2^(llb+blowup) values): replicate it so
         # the recursive interpolation below runs locally on every device.
         g = replicate(g)
@@ -239,6 +243,7 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
                 packed.append(replicate(lv[k][:, nat]).reshape(-1))  # (8, nq)
         return jnp.concatenate(packed)
 
+    tables = (twiddles, ys_inv, xs_invs)
     if batched:
         # Data-parallel batch of independent transcripts: vmap over a leading
         # blob axis; spmd_axis_name threads the mesh's "data" axis through
@@ -246,11 +251,11 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         return jax.jit(
             jax.vmap(
                 run,
-                in_axes=(0, None, 0, 0),
+                in_axes=(0, None, 0, 0, None, None, None),
                 spmd_axis_name="data" if mesh is not None else None,
             )
-        )
-    return jax.jit(run)
+        ), tables
+    return jax.jit(run), tables
 
 
 @functools.lru_cache(maxsize=32)
@@ -434,7 +439,7 @@ def _dispatch_commit_phase(data: bytes, seed, pcs_config: PcsConfig, mesh=None):
             f"{fri_cfg.log_last_layer_degree_bound} >= poly log size {log_size}"
         )
 
-    fn = _fri_commit_fn(
+    fn, tables = _fri_commit_fn(
         log_size,
         fri_cfg.log_blowup_factor,
         fri_cfg.log_last_layer_degree_bound,
@@ -463,6 +468,7 @@ def _dispatch_commit_phase(data: bytes, seed, pcs_config: PcsConfig, mesh=None):
             fft.bitrev_perm_device(log_size),
             jnp.uint32(seed_val & 0xFFFFFFFF),
             jnp.uint32(seed_val >> 32),
+            *tables,
         )
     return (outs, pcs_config, log_size, n, n_inner)
 

@@ -274,16 +274,36 @@ def supported(n: int, log_l: int) -> bool:
 
 
 def evaluate_fused(coeffs_rev: jnp.ndarray, n: int, interpret: bool = False,
-                   n_tw: int | None = None):
+                   n_tw: int | None = None, table_for_bit=None):
     """Drop-in fused equivalent of core/fft.evaluate for log domain size n.
     With `n_tw > n` this computes the LOCAL (lowest-n-bits) stages of a
     2^n_tw-size transform on one contiguous 2^n-element shard (see
-    _twiddle_tables)."""
+    _twiddle_tables).
+
+    `table_for_bit(p) -> (2^p,) uint32` supplies the natural-order stage
+    table for bit p as a RUNTIME array (normally a view of the caller's
+    stage_twiddles jit argument). Without it the tables are staged as HLO
+    constants — fine for small/test shapes, but at n=24+ the constants reach
+    hundreds of MB and the AOT compile request is rejected, so every hot
+    caller passes it."""
     C, L_len = coeffs_rev.shape
     N = 1 << n
     log_l = L_len.bit_length() - 1
     p_min, c0, groups = _pass_plan(n, log_l)
-    low_tabs, mid_tabs = _twiddle_tables(n, log_l, n_tw)
+    if table_for_bit is None:
+        low_tabs, mid_tabs = _twiddle_tables(n, log_l, n_tw)
+    else:
+        low_tabs = []
+        if c0 > p_min:
+            blk = 1 << c0
+            for p in range(p_min, c0):
+                low_tabs.append(
+                    jnp.tile(table_for_bit(p), blk >> p).reshape(blk, 1)
+                )
+        mid_tabs = [
+            [table_for_bit(p).reshape(1 << (p - b), 1 << b) for p in range(b, c)]
+            for b, c in groups
+        ]
 
     if L_len < N:  # Reed-Solomon dilation broadcast (bits [0, p_min) copies)
         w = jnp.broadcast_to(

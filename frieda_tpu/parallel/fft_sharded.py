@@ -105,7 +105,12 @@ def sharded_evaluate(coeffs_rev: jnp.ndarray, n: int, mesh: Mesh,
             from ..ops import fft_pallas
 
             if fft_pallas.supported(m, log_l - log_s) or interpret:
-                w = fft_pallas.evaluate_fused(w, m, interpret=interpret, n_tw=n)
+                # local_tw[i] = full-domain stage table at depth log_s + i,
+                # i.e. bit p = n - 1 - (log_s + i) => i = m - 1 - p.
+                w = fft_pallas.evaluate_fused(
+                    w, m, interpret=interpret, n_tw=n,
+                    table_for_bit=lambda p: local_tw[m - 1 - p],
+                )
             else:
                 w = fft.evaluate(w, local_tw)
         else:

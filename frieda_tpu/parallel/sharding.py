@@ -94,7 +94,7 @@ def prove_many_sharded(datas, seeds, pcs_config, mesh: Mesh):
     if n_inner < 0:
         raise ValueError("config unsatisfiable for this blob size")
 
-    fn = fri._fri_commit_fn(
+    fn, tables = fri._fri_commit_fn(
         log_size,
         fri_cfg.log_blowup_factor,
         fri_cfg.log_last_layer_degree_bound,
@@ -113,6 +113,7 @@ def prove_many_sharded(datas, seeds, pcs_config, mesh: Mesh):
         fft.bitrev_perm_device(log_size),
         jnp.asarray([s & 0xFFFFFFFF for s in seed_vals], jnp.uint32),
         jnp.asarray([s >> 32 for s in seed_vals], jnp.uint32),
+        *tables,
     )
     return [
         fri._finish_proof((outs[i], pcs_config, log_size, n, n_inner))

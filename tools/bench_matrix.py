@@ -51,12 +51,18 @@ def synthetic_data(n_bytes: int, seed: int = 0) -> bytes:
 
 
 def timed(fn, iters: int, warmups: int = 1):
+    """Median-of-iters wall time (the TPU tunnel's bandwidth fluctuates; a
+    single slow transfer would skew a mean)."""
+    import statistics
+
     for _ in range(warmups):
         out = fn()
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = fn()
-    return (time.perf_counter() - t0) / iters, out
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts), out
 
 
 def reference_matrix(quick: bool):
@@ -157,6 +163,28 @@ def baseline_sweep(quick: bool):
 DEFAULT_LIKE = None  # set in main (import order)
 
 
+def pipelined_headline():
+    """Sustained 2^22-felt commit throughput (bench.py's headline metric);
+    recorded here as the regression floor bench.py checks against."""
+    import jax.numpy as jnp
+
+    from frieda_tpu import api
+    from frieda_tpu.core import fft
+    from frieda_tpu.utils.packing import log_total_for, pad_to_words
+
+    k = 8
+    n_bytes = (1 << 22) * 30 // 8
+    log_total = log_total_for(n_bytes)
+    wordss = [pad_to_words(synthetic_data(n_bytes, seed=i), log_total) for i in range(k)]
+    tw = fft.stage_twiddles(log_total - 2 + 4)
+    jax.device_get(api._commit_root_pipeline(jnp.asarray(wordss[0]), tw, log_total))
+    t0 = time.perf_counter()
+    futs = [api._commit_root_pipeline(jnp.asarray(w), tw, log_total) for w in wordss]
+    jax.device_get(futs)
+    dt = (time.perf_counter() - t0) / k
+    return (1 << 22) / dt
+
+
 def main():
     global DEFAULT_LIKE
     from frieda_tpu.config import DEFAULT_CONFIG
@@ -169,9 +197,12 @@ def main():
     ref_rows = reference_matrix(quick)
     log("BASELINE.md config sweep:")
     sweep_rows = baseline_sweep(quick)
+    headline = pipelined_headline()
+    log(f"headline: sustained 2^22-felt commit {headline/1e6:.1f} M felts/s")
     out = {
         "hardware": str(jax.devices()[0]),
         "config": "blowup 2^4, last-layer bound 0, 20 queries, 20 PoW bits (reference default)",
+        "headline_felts_per_s": round(headline),
         "reference_matrix": ref_rows,
         "baseline_sweep": sweep_rows,
         "total_wall_s": round(time.time() - t_start, 1),
