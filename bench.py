@@ -128,6 +128,22 @@ def bench_commit_pipelined(log_felts: int, log_blowup: int = 4, k: int = 8):
 
 
 def main():
+    # FRIEDA_TRACE_DIR=/path: capture a jax.profiler trace of the bench run
+    # (phase spans from utils/profiling.span appear as trace annotations).
+    trace_dir = os.environ.get("FRIEDA_TRACE_DIR")
+    if trace_dir:
+        import contextlib
+
+        ctx = jax.profiler.trace(trace_dir)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        _main_inner()
+
+
+def _main_inner():
     log(f"devices: {jax.devices()}")
     # FRIEDA_BENCH_SMOKE=1: tiny sizes for CI schema checks on CPU runners.
     smoke = os.environ.get("FRIEDA_BENCH_SMOKE", "") not in ("", "0")
