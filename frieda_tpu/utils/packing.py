@@ -94,17 +94,82 @@ def pad_to_words(data: bytes, log_total: int) -> np.ndarray:
     return buf.view("<u4")
 
 
+def device_unpack_blocks(words, log_total: int):
+    """Gather-free device byte->felt unpack: uint32 words (pad_to_words) ->
+    (4, 2^log_total / 4) NATURAL-order coefficients. lcm(30, 32) = 480 bits,
+    so each 15-word group yields exactly 16 felts through a FIXED shift/or
+    pattern — pure elementwise VPU work plus two tiled relayouts, no gather
+    at all (random gathers were ~60% of the old ingest's device time).
+    Requires log_total >= 4 (whole 16-felt groups). No 30*f bit-offset is
+    ever materialized, so (unlike the gather path) this scales past
+    log_total = 27."""
+    import jax.numpy as jnp
+
+    assert log_total >= 4
+    total = 1 << log_total
+    nb = total // 16
+    w = words[: nb * 15].reshape(nb, 15).T  # (15, nb): one tiled relayout
+    mask = jnp.uint32((1 << 30) - 1)
+    outs = []
+    for k in range(16):
+        bit = 30 * k
+        i, s = bit // 32, bit % 32
+        if s <= 2:
+            v = (w[i] >> jnp.uint32(s)) & mask
+        else:
+            v = ((w[i] >> jnp.uint32(s)) | (w[i + 1] << jnp.uint32(32 - s))) & mask
+        outs.append(v)
+    felts = jnp.stack(outs, axis=1).reshape(total)  # (nb, 16) -> natural order
+    return felts.reshape(4, total // 4)
+
+
+def _rev_idx(m: int) -> np.ndarray:
+    """Bit-reversal permutation of [0, 2^m) as int32 (host-precomputed)."""
+    k = np.arange(1 << m, dtype=np.int64)
+    r = np.zeros_like(k)
+    for i in range(m):
+        r |= ((k >> i) & 1) << (m - 1 - i)
+    return r.astype(np.int32)
+
+
+def bitrev_rows_device(x, log_l: int):
+    """Bit-reverse the last axis of (C, 2^log_l) WITHOUT a flat random
+    gather: split the index bits log_l = a + b; then
+    out2d[u, v] = in2d[rev_b(v), rev_a(u)] with in2d = row.reshape(2^b, 2^a),
+    i.e. two whole-row axis gathers (contiguous DMA) + one tiled transpose —
+    ~3 cheap HBM passes instead of one latency-bound 2^log_l random gather."""
+    import jax.numpy as jnp
+
+    if log_l <= 1:
+        return x[..., _rev_idx(log_l)] if log_l == 1 else x
+    a = log_l // 2
+    b = log_l - a
+    C = x.shape[0]
+    y = x.reshape(C, 1 << b, 1 << a)
+    y = jnp.take(y, jnp.asarray(_rev_idx(b)), axis=1)
+    y = y.swapaxes(1, 2)  # (C, 2^a, 2^b)
+    y = jnp.take(y, jnp.asarray(_rev_idx(a)), axis=1)
+    return y.reshape(C, 1 << log_l)
+
+
 def device_ingest_rev(words, log_size: int):
     """Fused device ingest: uint32 words (pad_to_words, log_total =
     log_size + 2) -> (4, 2^log_size) *bit-reversed-order* coefficients, ready
-    for fft.evaluate. The 30-bit LSB-first extraction (SURVEY.md A.1) and the
-    coefficient bit-reversal collapse into ONE gather pair (lo/hi word) plus
-    fused elementwise shifts — no uint8 minor-dim-15 relayout, no separate
-    permutation gather. Bit-exact with
+    for fft.evaluate (30-bit LSB-first extraction per SURVEY.md A.1 +
+    coefficient bit-reversal). Bit-exact with
     fft.apply_bitrev(device_unpack(...), perm) (tests/test_commit_jax.py).
-    Valid for log_size + 2 <= 27 (30*f must fit uint32)."""
+
+    Two device strategies, same result:
+      * log_size >= 4: gather-free unpack (device_unpack_blocks) + transpose
+        bit-reversal (bitrev_rows_device) — all contiguous HBM traffic.
+      * tiny sizes: the direct per-felt (lo, hi) word-gather pair (bit
+        offsets 30*f must fit uint32, hence the log_size + 2 <= 27 bound —
+        the main path has no such limit)."""
     import jax.numpy as jnp
 
+    if log_size >= 4:
+        return bitrev_rows_device(device_unpack_blocks(words, log_size + 2),
+                                  log_size)
     assert log_size + 2 <= 27
     L = 1 << log_size
     k = jnp.arange(L, dtype=jnp.uint32)
