@@ -68,21 +68,33 @@ _INV2_M31 = (P + 1) // 2
 def _device_ifft_line(comps, xs_invs, depth: int):
     """Device last-layer interpolation: natural-order QM31 components
     (4-tuple of (M,) arrays) -> (M, 4) natural-order coefficients. Exact
-    inverse of the line-FFT stages (statically unrolled; M is tiny)."""
+    inverse of the line-FFT stages.
+
+    Iterative and vectorized: level d processes all 2^d sub-problems at once
+    as a (4, 2^d, M/2^d) array, so the trace is O(log M) ops — the recursive
+    form stacked O(M) leaves and stopped compiling near the config ceiling
+    (log_last_layer_degree_bound + log_blowup ~ 2^26 unrolled ops).
+
+    Output index bit k is the s(0)/d(1) branch choice at level depth+k, and
+    branch results are appended along the block axis, so block index r holds
+    output index r after all log M levels."""
     from .field import qm31_add as ja, qm31_mul_m31 as jm, qm31_sub as js
 
     m = comps[0].shape[0]
-    if m == 1:
-        return jnp.stack([c[0] for c in comps])[None, :]
-    half = m // 2
-    v0 = tuple(c[:half] for c in comps)
-    v1 = tuple(c[half:] for c in comps)
+    log_m = m.bit_length() - 1
     inv2 = jnp.uint32(_INV2_M31)
-    s = jm(ja(v0, v1), inv2)
-    d = jm(jm(js(v0, v1), inv2), xs_invs[depth][:half])
-    c0 = _device_ifft_line(s, xs_invs, depth + 1)
-    c1 = _device_ifft_line(d, xs_invs, depth + 1)
-    return jnp.stack([c0, c1], axis=1).reshape(m, 4)
+    x = tuple(c.reshape(1, m) for c in comps)  # (blocks, block_len)
+    for d in range(log_m):
+        blk = x[0].shape[1]
+        half = blk // 2
+        v0 = tuple(c[:, :half] for c in x)
+        v1 = tuple(c[:, half:] for c in x)
+        s = jm(ja(v0, v1), inv2)
+        dd = jm(jm(js(v0, v1), inv2), xs_invs[depth + d][:half][None, :])
+        # s -> output bit d = 0, dd -> output bit d = 1; concatenating along
+        # the block axis keeps block index == little-endian branch bits.
+        x = tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(s, dd))
+    return jnp.stack([c[:, 0] for c in x], axis=1)  # (M, 4)
 
 
 @functools.lru_cache(maxsize=8)

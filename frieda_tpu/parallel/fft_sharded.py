@@ -33,10 +33,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.4.35
-    from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.6: top-level export (the experimental path warns on 0.8+)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        # The top-level API renamed check_rep -> check_vma.
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 from ..core import circle as hostcircle
 from ..core import fft
