@@ -3,24 +3,33 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.json): sustained commit throughput in M31
-felts/sec/chip at a 2^22-felt blob (per-coordinate polys 2^20, eval domain
-2^24 at blowup 2^4). The Rust reference publishes no numbers (BASELINE.md);
+Headline metric (BASELINE.json north star, VERDICT r3 item 1): sustained
+commit throughput in M31 felts/sec/chip at a 2^24-felt blob (per-coordinate
+polys 2^22, eval domain 2^26 at blowup 2^4) — the size the >=10x target is
+stated at. The Rust reference publishes no numbers (BASELINE.md);
 vs_baseline is measured against a documented estimate of stwo's
 single-threaded scalar CpuBackend commit throughput, ~2.5e6 felts/s
 (derivation in BASELINE.md: O(N log N) scalar circle FFT at ~2ns/butterfly
-+ ~100ns/blake2s-compress x 2N Merkle hashes; the BASELINE.json target is
->= 10x that at 2^24-element scale).
++ ~100ns/blake2s-compress x 2N Merkle hashes).
 
 Methodology notes:
   * The TPU is attached through a remote tunnel whose host<->device
-    bandwidth fluctuates ~40x over time; every timing below is a MEDIAN
-    over several iterations, and the per-phase breakdown separates host
-    ingest / device compute so tunnel weather is visible in the stderr
-    log rather than silently polluting the headline.
-  * Regression gate (VERDICT r1 item 3): if BENCH_MATRIX.json exists and
-    the headline falls below FLOOR_FRACTION of its recorded value, exit
-    nonzero (the JSON line is still printed).
+    bandwidth fluctuates ~40x over time (measured 25..1600 MB/s across a
+    single day); every timing below is a MEDIAN over several iterations
+    and the pipelined sweep takes the best of several batches. The
+    per-phase breakdown separates host ingest / device compute so tunnel
+    weather is visible in the stderr log rather than silently polluting
+    the headline.
+  * Tunnel-insensitive metric: `device-compute sustained` re-runs the
+    pipelined sweep with the input already device-resident; this is what
+    the chip itself does and is the primary regression gate.
+  * Regression gates (VERDICT r1 item 3 / r3 item 8): if BENCH_MATRIX.json
+    exists, fail if the e2e headline falls below FLOOR_FRACTION of its
+    recorded value (tunnel slack), or if device-compute sustained falls
+    below DEVICE_FLOOR_FRACTION of its recorded value (tight: no tunnel
+    excuse for device regressions).
+  * Every run appends its numbers to BENCH_HISTORY.jsonl so cross-round
+    drift is visible (r3 item 8).
 
 Extra context (per-phase breakdown, roofline fractions, proof gen/verify
 timings) goes to stderr.
@@ -38,8 +47,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax
 import numpy as np
 
+# A sitecustomize hook pins JAX_PLATFORMS=axon on this box; honor an explicit
+# CPU request (CI smoke runs) by forcing it through jax.config as well.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 RUST_SINGLE_CORE_FELTS_PER_SEC = 2.5e6  # documented estimate, see BASELINE.md
-FLOOR_FRACTION = 0.25  # regression gate vs BENCH_MATRIX.json (tunnel-weather slack)
+FLOOR_FRACTION = 0.25  # e2e gate vs BENCH_MATRIX.json (tunnel-weather slack)
+DEVICE_FLOOR_FRACTION = 0.7  # device-compute gate (tunnel-insensitive)
 
 
 def log(msg):
@@ -109,11 +124,13 @@ def bench_commit(log_felts: int, log_blowup: int = 4, iters: int = 5):
     return n_felts / dt, dt
 
 
-def bench_commit_pipelined(log_felts: int, log_blowup: int = 4, k: int = 8):
+def bench_commit_pipelined(log_felts: int, log_blowup: int = 4, k: int = 6,
+                           batches: int = 3):
     """Sustained commit throughput with k blobs in flight: dispatches are
     async, so uploads overlap device compute — this is the felts/sec/chip a
     production ingest pipeline sees (the sequential bench above pays upload +
-    compute + fetch serially per blob)."""
+    compute + fetch serially per blob). Best of `batches` batches: the
+    tunnel's minute-scale weather makes single batches unrepresentative."""
     import jax.numpy as jnp
 
     from frieda_tpu import api
@@ -125,11 +142,42 @@ def bench_commit_pipelined(log_felts: int, log_blowup: int = 4, k: int = 8):
     wordss = [pad_to_words(synthetic_data(n_bytes, seed=i), log_total) for i in range(k)]
     tw = fft.stage_twiddles(log_total - 2 + log_blowup)
     jax.device_get(api._commit_root_pipeline(jnp.asarray(wordss[0]), tw, log_total))
-    t0 = time.perf_counter()
-    futs = [api._commit_root_pipeline(jnp.asarray(w), tw, log_total) for w in wordss]
-    roots = jax.device_get(futs)
-    dt = (time.perf_counter() - t0) / k
-    assert len({bytes(np.asarray(r)) for r in roots}) == k  # distinct blobs
+    best = None
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        futs = [api._commit_root_pipeline(jnp.asarray(w), tw, log_total) for w in wordss]
+        roots = jax.device_get(futs)
+        dt = (time.perf_counter() - t0) / k
+        assert len({bytes(np.asarray(r)) for r in roots}) == k  # distinct blobs
+        best = dt if best is None else min(best, dt)
+    return (1 << log_felts) / best, best
+
+
+def bench_device_sustained(log_felts: int, log_blowup: int = 4, k: int = 5):
+    """Tunnel-insensitive sustained commit throughput: same pipelined root
+    dispatch, but the input words are already device-resident, so the number
+    reflects only what the chip does (ingest unpack + LDE + Merkle). This is
+    the primary regression-gate metric — the e2e numbers above ride on
+    tunnel weather."""
+    import jax.numpy as jnp
+
+    from frieda_tpu import api
+    from frieda_tpu.core import fft
+    from frieda_tpu.utils.packing import log_total_for, pad_to_words
+
+    n_bytes = (1 << log_felts) * 30 // 8
+    log_total = log_total_for(n_bytes)
+    words_d = jax.device_put(pad_to_words(synthetic_data(n_bytes), log_total))
+    words_d.block_until_ready()
+    tw = fft.stage_twiddles(log_total - 2 + log_blowup)
+    jax.device_get(api._commit_root_pipeline(words_d, tw, log_total))  # warm
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        futs = [api._commit_root_pipeline(words_d, tw, log_total) for _ in range(k)]
+        jax.device_get(futs)
+        dts.append((time.perf_counter() - t0) / k)
+    dt = statistics.median(dts)
     return (1 << log_felts) / dt, dt
 
 
@@ -154,7 +202,7 @@ def _main_inner():
     # FRIEDA_BENCH_SMOKE=1: tiny sizes for CI schema checks on CPU runners.
     smoke = os.environ.get("FRIEDA_BENCH_SMOKE", "") not in ("", "0")
     commit_sizes = (10, 12) if smoke else (16, 20, 22)
-    pipe_sizes = (12,) if smoke else (20, 22)
+    pipe_sizes = (12,) if smoke else (20, 22, 24)
     results = {}
     for log_felts in commit_sizes:
         try:
@@ -173,6 +221,17 @@ def _main_inner():
                 f"{tput/1e6:.1f} M felts/s sustained")
         except Exception as e:  # noqa: BLE001
             log(f"pipelined commit 2^{log_felts} failed: {e}")
+    device_sustained = {}
+    for log_felts in ((12,) if smoke else (22, 24)):
+        try:
+            tput, dt = bench_device_sustained(log_felts)
+            device_sustained[log_felts] = (tput, dt)
+            log(f"device-compute sustained 2^{log_felts} felts: "
+                f"{dt*1e3:.1f} ms/blob, {tput/1e6:.1f} M felts/s "
+                f"({tput/RUST_SINGLE_CORE_FELTS_PER_SEC:.1f}x baseline, "
+                f"tunnel-insensitive)")
+        except Exception as e:  # noqa: BLE001
+            log(f"device sustained 2^{log_felts} failed: {e}")
 
     # Proof generation + verification timing at the reference bench config.
     try:
@@ -212,19 +271,43 @@ def _main_inner():
         "vs_baseline": round(tput / RUST_SINGLE_CORE_FELTS_PER_SEC, 2),
     }))
 
-    # Regression gate vs the committed matrix (VERDICT r1 item 3).
-    matrix_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_MATRIX.json")
+    if smoke:
+        return  # schema checked; gates/history are real-TPU-only
+
+    # Per-round history (VERDICT r3 item 8): append so drift is visible.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "ts": round(time.time(), 1),
+                "headline_log_felts": headline,
+                "e2e_felts_per_s": {str(kk): round(v[0], 1) for kk, v in source.items()},
+                "device_felts_per_s": {str(kk): round(v[0], 1)
+                                       for kk, v in device_sustained.items()},
+            }) + "\n")
+    except OSError as e:
+        log(f"history append failed: {e}")
+
+    # Regression gates vs the committed matrix (VERDICT r1 item 3 / r3 item 8).
+    matrix_path = os.path.join(here, "BENCH_MATRIX.json")
     if os.path.exists(matrix_path):
         try:
             with open(matrix_path) as f:
-                recorded = json.load(f).get("headline_felts_per_s")
+                matrix = json.load(f)
         except Exception:  # noqa: BLE001
-            recorded = None
+            matrix = {}
+        recorded = matrix.get("headline_felts_per_s")
         if recorded and tput < FLOOR_FRACTION * recorded:
             log(f"REGRESSION: headline {tput:.3g} < {FLOOR_FRACTION} x recorded "
                 f"{recorded:.3g} felts/s (BENCH_MATRIX.json)")
             sys.exit(2)
+        rec_dev = matrix.get("device_sustained_felts_per_s", {})
+        for kk, (tp, _) in device_sustained.items():
+            rec = rec_dev.get(str(kk))
+            if rec and tp < DEVICE_FLOOR_FRACTION * rec:
+                log(f"REGRESSION (device): 2^{kk} sustained {tp:.3g} < "
+                    f"{DEVICE_FLOOR_FRACTION} x recorded {rec:.3g} felts/s")
+                sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -60,13 +60,33 @@ def _butterfly_2d(x, t, e: int):
     it is T_p[j mod 2^p] tiled/broadcast, and e == 2^p), so a single M31
     product u = t*x serves both branches: t[j]*x[j+e] == u[j+e] and
     t[j]*x[j] == u[j]. Halves the dominant VPU cost vs multiplying both
-    rolled operands."""
+    rolled operands.
+
+    Used only for e < 8: larger distances take _butterfly_halves, which
+    avoids the rolls/iota/select entirely (but needs the pair axis to be
+    sublane-tile-aligned, i.e. e >= 8)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     mask = (idx & e) == 0
     u = m31_mul(t, x)
     a = m31_add(x, jnp.roll(u, -e, axis=0))
     b = m31_sub(jnp.roll(x, e, axis=0), u)
     return jnp.where(mask, a, b)
+
+
+def _butterfly_halves(x, tw, e: int):
+    """Butterfly along the sublane axis for e >= 8, halves form. x: (M, L),
+    combine distance e rows; tw: (e, L) or (e, 1) one twiddle period.
+
+    View (M, L) as (M/2e, 2, e, L): the pair axis is axis 1, so
+      out0 = x0 + t*x1,  out1 = x0 - t*x1
+    costs one M31 product over HALF the elements and no roll/iota/select —
+    ~2.5x fewer VPU ops than _butterfly_2d. e >= 8 keeps the (e, L) minor
+    dims tile-aligned so all reshapes are free address arithmetic."""
+    m, lanes = x.shape
+    x4 = x.reshape(m // (2 * e), 2, e, lanes)
+    x0 = x4[:, 0]
+    u = m31_mul(tw[None], x4[:, 1])
+    return jnp.stack([m31_add(x0, u), m31_sub(x0, u)], axis=1).reshape(m, lanes)
 
 
 def _low_kernel_factory(stage_rows):
@@ -77,7 +97,11 @@ def _low_kernel_factory(stage_rows):
         out_ref = refs[-1]
         x = x_ref[0]  # (blk, LANES)
         for i, e in enumerate(stage_rows):
-            x = _butterfly_2d(x, refs[i][:, :], e)
+            if e >= 8:
+                # table is the period tiled to (blk, 1): one period suffices
+                x = _butterfly_halves(x, refs[i][0:e, :], e)
+            else:
+                x = _butterfly_2d(x, refs[i][:, :], e)
         out_ref[0] = x
 
     return kernel
@@ -95,17 +119,11 @@ def _mid_kernel_factory(stage_list):
         for i, (rows, reps) in enumerate(stage_list):
             tw = refs[i][:, :]  # (rows, LB)
             if rows >= 8:
-                # (mid, lb) -> (reps, rows, lb) is a free view (minor dims
-                # keep their tiling); there the twiddle broadcast is along
-                # the leading axis (no sublane interleave materialization),
-                # the distance-`rows` roll becomes a leading-axis roll by 1,
-                # and the butterfly mask is leading-iota parity.
-                x3 = x.reshape(reps, rows, lb)
-                u3 = m31_mul(jnp.broadcast_to(tw[None], x3.shape), x3)
-                a3 = m31_add(x3, jnp.roll(u3, -1, axis=0))
-                b3 = m31_sub(jnp.roll(x3, 1, axis=0), u3)
-                r_idx = jax.lax.broadcasted_iota(jnp.int32, x3.shape, 0)
-                x = jnp.where((r_idx & 1) == 0, a3, b3).reshape(mid, lb)
+                # halves form: (mid, lb) -> (reps/2, 2, rows, lb) is a free
+                # view (minor dims keep their tiling); the pair axis is the
+                # new axis 1, so no roll/iota/select and the M31 product
+                # touches only half the elements.
+                x = _butterfly_halves(x, tw, rows)
             else:
                 # rows in {1, 2, 4}: build the periodic table with sublane
                 # splats + a select tree (cheaper than an interleaving
