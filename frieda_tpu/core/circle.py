@@ -157,3 +157,84 @@ def domain_point_at_stored_index(log_size: int, stored: int):
     """Circle point at *stored* (bit-reversed) index: stored s <-> natural
     bitrev_n(s) (SURVEY.md A.5)."""
     return natural_point(log_size, bit_reverse_index(stored, log_size))
+
+
+# --- vectorized verifier-side twiddle lookups (reuse the cached tables) ----
+
+_REV8 = np.array(
+    [sum(((i >> b) & 1) << (7 - b) for b in range(8)) for i in range(256)],
+    np.uint64,
+)
+
+
+def _bitrev_arr(js: np.ndarray, bits: int) -> np.ndarray:
+    """Vectorized bit-reversal over `bits` <= 32 bits (byte-table compose)."""
+    js = np.asarray(js, np.uint64)
+    m = np.uint64(0xFF)
+    r32 = (
+        (_REV8[(js & m).astype(np.int64)] << np.uint64(24))
+        | (_REV8[((js >> np.uint64(8)) & m).astype(np.int64)] << np.uint64(16))
+        | (_REV8[((js >> np.uint64(16)) & m).astype(np.int64)] << np.uint64(8))
+        | _REV8[((js >> np.uint64(24)) & m).astype(np.int64)]
+    )
+    return r32 >> np.uint64(32 - bits)
+
+
+@functools.lru_cache(maxsize=32)
+def _line_layer_tables(log_size: int, layer: int):
+    """(xs_layers[layer], xs_layers_inv[layer]) as read-only uint64 — the
+    verifier's per-layer twiddle/inverse lookup tables (cached)."""
+    tw = get_twiddles(log_size)
+    xs = tw.xs_layers[layer].astype(np.uint64)
+    inv = tw.xs_layers_inv[layer].astype(np.uint64)
+    xs.setflags(write=False)
+    inv.setflags(write=False)
+    return xs, inv
+
+
+def _line_lookup(log_size: int, layer: int, js, table: np.ndarray) -> np.ndarray:
+    """Signed table lookup shared by line_x_batch / line_x_inv_batch.
+
+    X_layer[j] = pi^layer(x(natural u)) with u = bitrev_{n-1-layer}(j), and
+    pi^layer(xs[u]) = ±xs_layers[layer][u mod half] (cur_l[t] = pi^l(xs[t])
+    by the Twiddles construction; second halves negate by the ±x pair
+    adjacency asserted there). The same index/sign selects from the
+    inverse table, so the verifier never runs a field inversion."""
+    u = _bitrev_arr(np.asarray(js, np.uint64), log_size - 1 - layer)
+    half = table.shape[0]  # == 2^(log_size - 2 - layer)
+    hi = u >= half
+    val = table[np.where(hi, u - half, u).astype(np.int64)]
+    return np.where(hi, (P - val) % P, val)
+
+
+def line_x_batch(log_size: int, layer: int, js) -> np.ndarray:
+    """X_layer[js] for an array of STORED line-domain indices, vectorized:
+    X_0[j] = x(stored domain point 2j), X_l[j] = pi^l(X_0[j << l]).
+
+    Pure cached-table lookups (already built by any commit at this size)
+    instead of per-index _point_pow chains — the verifier calls this once per
+    FRI layer with ~n_queries indices. Values match fri._line_x_at exactly
+    (tests/test_field_jax.py)."""
+    xs, _ = _line_layer_tables(log_size, layer)
+    return _line_lookup(log_size, layer, js, xs)
+
+
+def line_x_inv_batch(log_size: int, layer: int, js) -> np.ndarray:
+    """1 / X_layer[js], from the cached inverse tables (no Fermat pow)."""
+    _, inv = _line_layer_tables(log_size, layer)
+    return _line_lookup(log_size, layer, js, inv)
+
+
+@functools.lru_cache(maxsize=16)
+def _ys_inv_u64(log_size: int) -> np.ndarray:
+    a = get_twiddles(log_size).ys_inv.astype(np.uint64)
+    a.setflags(write=False)
+    return a
+
+
+def ys_inv_at_stored_pairs(log_size: int, ks) -> np.ndarray:
+    """1/y(stored domain point 2k) for an array of pair indices k, via the
+    cached ys_inv table: natural index of stored 2k is bitrev_{n-1}(k),
+    always in the half coset (no conjugate sign)."""
+    u = _bitrev_arr(np.asarray(ks, np.uint64), log_size - 1)
+    return _ys_inv_u64(log_size)[u.astype(np.int64)]

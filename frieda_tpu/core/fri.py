@@ -403,6 +403,32 @@ def _eval_line_poly(coeffs, x: int):
     return acc
 
 
+def _eval_line_poly_batch(coeffs, xs: np.ndarray) -> np.ndarray:
+    """Vectorized _eval_line_poly: evaluate at an array of points at once.
+    coeffs: list of QM31 tuples (natural order, basis bit k <-> pi^k(x));
+    xs: (m,) uint64. Returns (m, 4) uint64. Bit-exact with the scalar form
+    (tests/test_proof.py cross-check)."""
+    from . import npfield
+
+    m = xs.shape[0]
+    n_c = len(coeffs)
+    if n_c == 1:
+        return np.broadcast_to(npfield.qm31_arr([coeffs[0]]), (m, 4)).copy()
+    log_n = (n_c - 1).bit_length()
+    basis = [np.asarray(xs, np.uint64)]
+    for _ in range(log_n - 1):
+        b = basis[-1]
+        basis.append((2 * b % P * b + (P - 1)) % P)  # pi(x) = 2x^2 - 1
+    acc = np.zeros((m, 4), np.uint64)
+    for i, c in enumerate(coeffs):
+        term = np.broadcast_to(npfield.qm31_arr([c]), (m, 4))
+        for k in range(log_n):
+            if (i >> k) & 1:
+                term = npfield.qm31_mul_m31(term, basis[k])
+        acc = npfield.qm31_add(acc, term)
+    return acc
+
+
 def hostcircle_pi(x: int) -> int:
     return (2 * x * x - 1) % P
 
@@ -617,30 +643,52 @@ def _finish_proof(ctx):
 # Verifier (host-only, light-client-sized)
 # ---------------------------------------------------------------------------
 
-def _verify_layer_merkle(root, log_len, positions, values, fri_witness_iter, dec):
+def _verify_layer_merkle(root, log_len, positions, values, fri_witness, dec):
     """Group pairs, fill sibling values from the witness, check the Merkle
-    multi-opening. Returns dict of complete pair values {pair_idx: (v_even,
-    v_odd)} or None on failure."""
-    pair_values = {}
-    leaf_hashes = {}
+    multi-opening — all hashing batched (one native call per tree level).
+
+    positions: sorted unique int positions; values: (m, 4) uint64 rows
+    matching positions. Returns (pair_ks (k,) int64, v_even (k, 4) uint64,
+    v_odd (k, 4) uint64) or None on failure (including witness length
+    mismatch — the reference consumes the witness exactly)."""
+    from . import npfield
+
+    pos_row = {p: i for i, p in enumerate(positions)}
+    wi = 0
+    pair_ks, rows0, rows1 = [], [], []
     for k, present, lone in _pair_groups(positions):
         if lone is None:
-            v0, v1 = values[present[0]], values[present[1]]
+            v0, v1 = values[pos_row[present[0]]], values[pos_row[present[1]]]
         else:
-            try:
-                sib_val = next(fri_witness_iter)
-            except StopIteration:
+            if wi >= len(fri_witness):
                 return None
+            sib_val = np.asarray(fri_witness[wi], np.uint64)
+            wi += 1
             if lone % 2 == 0:
-                v0, v1 = values[lone], sib_val
+                v0, v1 = values[pos_row[lone]], sib_val
             else:
-                v0, v1 = sib_val, values[lone]
-        pair_values[k] = (v0, v1)
-        leaf_hashes[2 * k] = merkle.leaf_hash_host(v0)
-        leaf_hashes[2 * k + 1] = merkle.leaf_hash_host(v1)
-    if not merkle.verify_openings(root, log_len, leaf_hashes, dec):
+                v0, v1 = sib_val, values[pos_row[lone]]
+        pair_ks.append(k)
+        rows0.append(v0)
+        rows1.append(v1)
+    if wi != len(fri_witness):  # leftover witness values => malformed
         return None
-    return pair_values
+    k_n = len(pair_ks)
+    v0s = np.stack(rows0) if k_n else np.zeros((0, 4), np.uint64)
+    v1s = np.stack(rows1) if k_n else np.zeros((0, 4), np.uint64)
+    # leaf messages: 4 column words + 12 zeros, interleaved (2k, 2k+1)
+    msgs = np.zeros((2 * k_n, 16), np.uint32)
+    msgs[0::2, :4] = v0s.astype(np.uint32)
+    msgs[1::2, :4] = v1s.astype(np.uint32)
+    leaf_rows = merkle.compress_rows_host(msgs)
+    leaf_idxs = []
+    for k in pair_ks:
+        leaf_idxs.extend((2 * k, 2 * k + 1))
+    if not merkle.verify_openings_rows(
+        root, log_len, leaf_idxs, leaf_rows, dec.hash_witness
+    ):
+        return None
+    return np.asarray(pair_ks, np.int64), v0s, v1s
 
 
 def verify_proof(proof: Proof, seed) -> bool:
@@ -660,6 +708,24 @@ def verify_proof(proof: Proof, seed) -> bool:
         return False
 
 
+def _valid_qm31_list(lst) -> bool:
+    """True iff every entry is a 4-tuple of in-field integers — vectorized
+    (the per-element genexpr it replaces was a verify hot spot)."""
+    if not all(isinstance(f, tuple) and len(f) == 4 for f in lst):
+        return False
+    if not lst:
+        return True
+    try:
+        arr = np.asarray(lst)
+    except (TypeError, ValueError, OverflowError):
+        return False
+    return (
+        arr.dtype.kind in "iu"
+        and bool((arr >= 0).all())
+        and bool((arr < P).all())
+    )
+
+
 def _verify_proof_inner(proof: Proof, seed) -> bool:
     # --- structural validation (FriVerifier::commit's fallible parse:
     # malformed => Err => false, src/proof.rs:84-91; never raise) ---
@@ -674,11 +740,7 @@ def _verify_proof_inner(proof: Proof, seed) -> bool:
         for layer in all_layers:
             if not isinstance(layer.commitment, bytes) or len(layer.commitment) != 32:
                 return False
-            if any(
-                not (isinstance(f, tuple) and len(f) == 4
-                     and all(0 <= int(c) < P for c in f))
-                for f in layer.fri_witness
-            ):
+            if not _valid_qm31_list(layer.fri_witness):
                 return False
             if any(
                 not (isinstance(h, bytes) and len(h) == 32)
@@ -697,10 +759,7 @@ def _verify_proof_inner(proof: Proof, seed) -> bool:
         return False
     if len(proof.proof.last_layer_poly) != (1 << fri_cfg.log_last_layer_degree_bound):
         return False
-    if any(
-        not (isinstance(c, tuple) and len(c) == 4 and all(0 <= int(v) < P for v in c))
-        for c in proof.proof.last_layer_poly
-    ):
+    if not _valid_qm31_list(proof.proof.last_layer_poly):
         return False
 
     channel = Blake2sChannel()
@@ -723,48 +782,45 @@ def _verify_proof_inner(proof: Proof, seed) -> bool:
     values = {q: proof.evaluations[i] for i, q in enumerate(queries)}
     if len(proof.evaluations) > len(queries):
         return False
-    if any(
-        not (isinstance(v, tuple) and len(v) == 4 and all(0 <= int(c) < P for c in v))
-        for v in values.values()
-    ):
+    if not _valid_qm31_list(list(values.values())):
         return False
 
-    # --- first layer: Merkle + circle->line fold ---
-    wit = iter(proof.proof.first_layer.fri_witness)
-    pair_values = _verify_layer_merkle(
-        proof.proof.first_layer.commitment, n, queries, values, wit,
+    # --- first layer: Merkle + circle->line fold (vectorized numpy) ---
+    from . import npfield
+
+    vals = npfield.qm31_arr([values[q] for q in queries])
+    grouped = _verify_layer_merkle(
+        proof.proof.first_layer.commitment, n, queries, vals,
+        proof.proof.first_layer.fri_witness,
         proof.proof.first_layer.decommitment,
     )
-    if pair_values is None or any(True for _ in wit):
+    if grouped is None:
         return False
-    folded = {}
-    for k, (vp, vm) in pair_values.items():
-        _, y = hostcircle.domain_point_at_stored_index(n, 2 * k)
-        y_inv = sf.m31_inv(y)
-        f0 = sf.qm31_add(vp, vm)
-        f1 = sf.qm31_mul_m31(sf.qm31_sub(vp, vm), y_inv)
-        folded[k] = sf.qm31_add(f0, sf.qm31_mul(alpha0, f1))
+    pair_ks, vp, vm = grouped
+    y_inv = hostcircle.ys_inv_at_stored_pairs(n, pair_ks)
+    alpha0_arr = npfield.qm31_arr([alpha0])
+    f0 = npfield.qm31_add(vp, vm)
+    f1 = npfield.qm31_mul_m31(npfield.qm31_sub(vp, vm), y_inv)
+    folded = npfield.qm31_add(f0, npfield.qm31_mul(alpha0_arr, f1))
+    positions = pair_ks
 
     # --- inner layers: Merkle + line folds ---
     for l, layer in enumerate(proof.proof.inner_layers):
-        positions = sorted(folded)
-        wit = iter(layer.fri_witness)
-        pair_values = _verify_layer_merkle(
-            layer.commitment, n - 1 - l, positions, folded, wit, layer.decommitment
+        grouped = _verify_layer_merkle(
+            layer.commitment, n - 1 - l, [int(p) for p in positions], folded,
+            layer.fri_witness, layer.decommitment,
         )
-        if pair_values is None or any(True for _ in wit):
+        if grouped is None:
             return False
-        nxt = {}
-        for k, (v0, v1) in pair_values.items():
-            x = _line_x_at(n, l, 2 * k)
-            f0 = sf.qm31_add(v0, v1)
-            f1 = sf.qm31_mul_m31(sf.qm31_sub(v0, v1), sf.m31_inv(x))
-            nxt[k] = sf.qm31_add(f0, sf.qm31_mul(alphas[l], f1))
-        folded = nxt
+        pair_ks, v0, v1 = grouped
+        x_inv = hostcircle.line_x_inv_batch(n, l, 2 * pair_ks)
+        alpha_arr = npfield.qm31_arr([alphas[l]])
+        f0 = npfield.qm31_add(v0, v1)
+        f1 = npfield.qm31_mul_m31(npfield.qm31_sub(v0, v1), x_inv)
+        folded = npfield.qm31_add(f0, npfield.qm31_mul(alpha_arr, f1))
+        positions = pair_ks
 
     # --- last layer: evaluate the claimed polynomial ---
-    for p, v in folded.items():
-        x = _line_x_at(n, n_inner, p)
-        if _eval_line_poly(proof.proof.last_layer_poly, x) != v:
-            return False
-    return True
+    xs = hostcircle.line_x_batch(n, n_inner, positions)
+    want = _eval_line_poly_batch(proof.proof.last_layer_poly, xs)
+    return bool(np.array_equal(want, folded))

@@ -155,51 +155,117 @@ class MerkleDecommitment:
         return cls(hash_witness=[bytes.fromhex(h) for h in d["hash_witness"]])
 
 
+def compress_rows_host(msgs: np.ndarray) -> np.ndarray:
+    """(m, 16) uint32 messages -> (m, 8) zero-state compressions, batched
+    through the native runtime (or the vectorized numpy spec kernel)."""
+    nat = _native()
+    msgs = np.ascontiguousarray(msgs, np.uint32)
+    if nat is not None:
+        return nat.raw_compress_batch(msgs)
+    return np.ascontiguousarray(np_compress_batch(np.ascontiguousarray(msgs.T)).T)
+
+
+def verify_openings_rows(
+    root: bytes,
+    log_n_leaves: int,
+    idxs: list,
+    rows: np.ndarray,
+    hash_witness: list,
+) -> bool:
+    """Recompute the root from known leaf hashes + hash witness. Returns False
+    on mismatch or malformed witness (never raises for bad proofs).
+
+    idxs: sorted unique leaf indices; rows: matching (m, 8) uint32 hash words.
+    Fully vectorized per level: pair grouping is numpy index math and hashing
+    is ONE native call per level (the per-node Python walk + ctypes call it
+    replaces dominated light-client verify time)."""
+    for h in hash_witness:
+        if not isinstance(h, bytes) or len(h) != 32:
+            return False
+    wit_rows = (
+        np.frombuffer(b"".join(hash_witness), np.uint32).reshape(-1, 8)
+        if hash_witness
+        else np.zeros((0, 8), np.uint32)
+    )
+    idxs = np.asarray(idxs, np.int64)
+    nat = _native()
+    if nat is not None:
+        ok, got_root, consumed = nat.verify_openings(
+            log_n_leaves, idxs, rows, wit_rows
+        )
+        return ok and consumed == wit_rows.shape[0] and got_root == root
+    wi = 0
+    for _ in range(log_n_leaves):
+        if idxs.size == 0:
+            break
+        # sorted unique indices: element i starts a pair iff it is even and
+        # the next element is its sibling (an odd element can only pair
+        # backward, which the previous position already captured)
+        is_start = np.zeros(idxs.size, bool)
+        is_start[:-1] = (idxs[:-1] % 2 == 0) & (idxs[1:] == idxs[:-1] + 1)
+        is_second = np.zeros(idxs.size, bool)
+        is_second[1:] = is_start[:-1]
+        lone = ~is_start & ~is_second
+        n_lone = int(lone.sum())
+        if wi + n_lone > wit_rows.shape[0]:
+            return False
+        keep = is_start | lone  # one output node per kept position, in order
+        kidx = idxs[keep]
+        krows = rows[keep]
+        lone_k = lone[keep]
+        lefts = krows.copy()
+        rights = np.empty_like(krows)
+        # paired: right = the following row; lone even: right = witness;
+        # lone odd: left = witness, right = own row
+        paired_k = ~lone_k
+        pair_pos = np.flatnonzero(keep)[paired_k] + 1
+        rights[paired_k] = rows[pair_pos]
+        wslice = wit_rows[wi : wi + n_lone]
+        wi += n_lone
+        lone_even = lone_k & (kidx % 2 == 0)
+        lone_odd = lone_k & (kidx % 2 == 1)
+        rights[lone_even] = wslice[(kidx[lone_k] % 2 == 0).nonzero()[0]]
+        lefts[lone_odd] = wslice[(kidx[lone_k] % 2 == 1).nonzero()[0]]
+        rights[lone_odd] = krows[lone_odd]
+        rows = compress_rows_host(np.concatenate([lefts, rights], axis=1))
+        idxs = kidx >> 1
+    if wi != wit_rows.shape[0]:  # leftover witness entries => malformed
+        return False
+    return idxs.size == 1 and int(idxs[0]) == 0 and rows[0].tobytes() == root
+
+
 def verify_openings(
     root: bytes,
     log_n_leaves: int,
     leaf_hashes: dict,
     dec: MerkleDecommitment,
 ) -> bool:
-    """Recompute the root from known leaf hashes + hash witness. Returns False
-    on mismatch or malformed witness (never raises for bad proofs)."""
-    known = dict(sorted(leaf_hashes.items()))
-    wit = iter(dec.hash_witness)
-    try:
-        for _ in range(log_n_leaves):
-            nxt = {}
-            idxs = sorted(known)
-            i = 0
-            while i < len(idxs):
-                idx = idxs[i]
-                sib = idx ^ 1
-                if i + 1 < len(idxs) and idxs[i + 1] == sib:
-                    left, right = known[idx], known[sib]
-                    i += 2
-                else:
-                    sib_hash = next(wit)
-                    if not isinstance(sib_hash, bytes) or len(sib_hash) != 32:
-                        return False
-                    left, right = (
-                        (known[idx], sib_hash) if idx % 2 == 0 else (sib_hash, known[idx])
-                    )
-                    i += 1
-                nxt[idx >> 1] = hash_pair(left, right)
-            known = nxt
-    except StopIteration:
-        return False
-    if any(True for _ in wit):  # leftover witness entries => malformed
-        return False
-    return known.get(0) == root
+    """Dict-of-bytes facade over verify_openings_rows (same semantics)."""
+    items = sorted(leaf_hashes.items())
+    if items:
+        rows = np.stack([np.frombuffer(h, np.uint32) for _, h in items])
+    else:
+        rows = np.zeros((0, 8), np.uint32)
+    return verify_openings_rows(
+        root, log_n_leaves, [i for i, _ in items], rows, dec.hash_witness
+    )
+
+
+_NATIVE = False  # tri-state cache: False = unresolved, None = unavailable
 
 
 def _native():
     """The C++ host runtime, or None (pure-Python spec fallback). The
     light-client verifier hashes thousands of nodes per proof; the Python
-    spec compression costs ~200 us/node vs ~100 ns native."""
-    from .. import native
+    spec compression costs ~200 us/node vs ~100 ns native. Resolved once —
+    the import + availability probe used to run per hash call and dominated
+    verify time."""
+    global _NATIVE
+    if _NATIVE is False:
+        from .. import native
 
-    return native.get_lib() and native
+        _NATIVE = native if native.get_lib() else None
+    return _NATIVE
 
 
 def leaf_hash_host(column_values) -> bytes:

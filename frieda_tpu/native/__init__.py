@@ -59,6 +59,10 @@ def get_lib():
     lib.frieda_bytes_to_felts.restype = ctypes.c_uint64
     lib.frieda_bitrev_u32.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32]
     lib.frieda_hash_pair.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.frieda_verify_openings.argtypes = [
+        ctypes.c_uint32, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p]
+    lib.frieda_verify_openings.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -119,3 +123,24 @@ def hash_pair(left: bytes, right: bytes) -> bytes:
     out = np.empty(8, np.uint32)
     lib.frieda_hash_pair(left, right, out.ctypes.data)
     return out.tobytes()
+
+
+def verify_openings(log_n: int, idxs: np.ndarray, rows: np.ndarray,
+                    wit_rows: np.ndarray):
+    """Full multi-opening walk in C. idxs (n,) int64 sorted unique; rows
+    (n, 8) uint32; wit_rows (n_wit, 8) uint32. Returns (ok, root32, consumed)
+    — ok only means the walk completed to node 0; callers compare root32 and
+    consumed themselves (mirrors merkle.verify_openings_rows semantics)."""
+    import ctypes as ct
+
+    lib = get_lib()
+    idxs = np.ascontiguousarray(idxs, np.int64)
+    rows = np.ascontiguousarray(rows, np.uint32)
+    wit_rows = np.ascontiguousarray(wit_rows, np.uint32)
+    out = np.empty(8, np.uint32)
+    consumed = ct.c_uint64(0)
+    ok = lib.frieda_verify_openings(
+        log_n, idxs.shape[0], idxs.ctypes.data, rows.ctypes.data,
+        wit_rows.ctypes.data, wit_rows.shape[0], out.ctypes.data,
+        ct.byref(consumed))
+    return bool(ok), out.tobytes(), int(consumed.value)

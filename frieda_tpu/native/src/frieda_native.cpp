@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -174,6 +175,59 @@ void frieda_bitrev_u32(const uint32_t* in, uint32_t* out, uint32_t log_n) {
     }
     out[i] = in[r];
   }
+}
+
+// Merkle multi-opening root recomputation (light-client verify hot path —
+// the whole bottom-up walk in one call instead of per-level Python/numpy).
+// idxs: n sorted unique leaf indices; rows: n x 8 leaf hash words;
+// wit: n_wit x 8 sibling hash words consumed in encounter order (the
+// deterministic plan of merkle.verify_openings_rows). Writes the recomputed
+// root to out8 and the consumed witness count to *consumed. Returns 1 when
+// the walk completes to exactly node 0 (caller still compares the root and
+// checks *consumed == n_wit), 0 on witness underrun / malformed structure.
+int frieda_verify_openings(uint32_t log_n, uint64_t n, const int64_t* idxs,
+                           const uint32_t* rows, const uint32_t* wit,
+                           uint64_t n_wit, uint32_t* out8, uint64_t* consumed) {
+  std::vector<int64_t> idx(idxs, idxs + n);
+  std::vector<uint32_t> h(rows, rows + 8 * n);
+  uint64_t wi = 0;
+  for (uint32_t lvl = 0; lvl < log_n; ++lvl) {
+    if (idx.empty()) break;
+    std::vector<int64_t> nidx;
+    nidx.reserve(idx.size());
+    std::vector<uint32_t> nh;
+    nh.reserve(h.size());
+    uint64_t i = 0;
+    while (i < idx.size()) {
+      int64_t cur = idx[i];
+      const uint32_t *l, *r;
+      if (i + 1 < idx.size() && idx[i + 1] == (cur ^ 1)) {
+        l = &h[8 * i];
+        r = &h[8 * (i + 1)];
+        i += 2;
+      } else {
+        if (wi >= n_wit) { *consumed = wi; return 0; }
+        const uint32_t* w = wit + 8 * wi;
+        ++wi;
+        if ((cur & 1) == 0) { l = &h[8 * i]; r = w; }
+        else { l = w; r = &h[8 * i]; }
+        i += 1;
+      }
+      uint32_t m[16];
+      std::memcpy(m, l, 32);
+      std::memcpy(m + 8, r, 32);
+      uint32_t hh[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      compress(hh, m, 0, false);
+      nidx.push_back(cur >> 1);
+      nh.insert(nh.end(), hh, hh + 8);
+    }
+    idx.swap(nidx);
+    h.swap(nh);
+  }
+  *consumed = wi;
+  if (idx.size() != 1 || idx[0] != 0) return 0;
+  std::memcpy(out8, h.data(), 32);
+  return 1;
 }
 
 // Merkle pair hash: compress(0, left(8 words) || right(8 words)).
