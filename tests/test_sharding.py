@@ -127,6 +127,26 @@ def test_sharded_commit_root_large_domain(n_elem):
     assert _root_bytes(words) == _root_bytes(ref)
 
 
+@pytest.mark.slow
+def test_sharded_prove_production_shape_bit_identical():
+    """VERDICT r3 item 4: the full SPMD prover at a PRODUCTION shape —
+    2^18 felts, per-coordinate polys 2^16, eval domain 2^20 — on a (1, 8)
+    mesh must be byte-identical to single-device. At this size the element
+    axis is genuinely sharded through every wide layer and the tail-layer
+    replication boundaries (core/fri.py shard_elem) actually bite, unlike
+    the 2^10-domain conformance cases above."""
+    n_bytes = 983040  # ceil(8*n/30) = 2^18 felts exactly
+    data = bytes((5 * i + 11) % 256 for i in range(n_bytes))
+    cfg = PcsConfig(pow_bits=5, fri_config=FriConfig(4, 0, 20))
+    seed = 7
+    c_single, p_single = fri.commit_and_generate_proof(data, seed, cfg)
+    mesh = sharding.make_mesh(1, 8)
+    c_sh, p_sh = sharding.sharded_commit_and_prove(data, seed, cfg, mesh)
+    assert c_sh == c_single
+    assert p_sh.to_bytes() == p_single.to_bytes()
+    assert fri.verify_proof(p_sh, seed)
+
+
 def test_multihost_helpers_single_process():
     """multihost module: single-process fallbacks are exact no-ops and the
     mesh helper builds over all devices."""
