@@ -51,8 +51,13 @@ def initialize(coordinator_address: str | None = None,
 
     Resolution order: explicit args > JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/
     PROCESS_ID env vars > TPU-pod auto-detection (jax.distributed.initialize
-    with no args works on Cloud TPU pods) > single-process no-op."""
-    if jax.process_count() > 1:
+    with no args works on Cloud TPU pods) > single-process no-op.
+
+    NB: must run before anything that initializes the XLA backend — so the
+    already-initialized probe is jax.distributed.is_initialized(), NOT
+    jax.process_count() (which would itself initialize the backend and make
+    a subsequent distributed initialize impossible)."""
+    if jax.distributed.is_initialized():
         return True  # already initialized
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"

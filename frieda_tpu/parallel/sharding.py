@@ -166,6 +166,10 @@ def sharded_commit_root(coeffs: jnp.ndarray, log_domain: int, mesh: Mesh):
         evals = jax.lax.with_sharding_constraint(
             evals, NamedSharding(mesh, P(None, "elem"))
         )
-        return _root_words(evals)
+        # replicate the root words so EVERY process of a multi-host mesh can
+        # read them directly (device_get of a fully-replicated global array)
+        return jax.lax.with_sharding_constraint(
+            _root_words(evals), NamedSharding(mesh, P())
+        )
 
     return run(coeffs)
