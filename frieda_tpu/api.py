@@ -40,10 +40,11 @@ def _commit_root_pipeline(words, twiddles, log_total):
     """Raw uint32 words -> (8, <=2^HOST_CUTOFF_LOG) top device level. One
     dispatch + one small fetch (<= 2 KB, still a single round trip); the last
     ~HOST_CUTOFF_LOG narrow tree levels are pure dispatch/compile overhead on
-    TPU, so they finish on host via the native runtime (merkle.py:35)."""
+    TPU, so they finish on host via the native runtime (merkle.py:35).
+    Root-only: wide levels use the fused 3-level kernels (no intermediate
+    level ever hits HBM — merkle.device_root_level)."""
     evals = fft.evaluate_auto(device_ingest_rev(words, log_total - 2), twiddles)
-    levels = merkle.device_levels(evals)
-    return levels[-1]
+    return merkle.device_root_level(evals)
 
 
 def _finish_root(top_words) -> bytes:

@@ -79,6 +79,34 @@ def device_levels(columns: jnp.ndarray, cutoff_log: int = HOST_CUTOFF_LOG):
     return levels
 
 
+def device_root_level(columns: jnp.ndarray, cutoff_log: int = HOST_CUTOFF_LOG):
+    """Top device level for ROOT-ONLY commits ((8, <= 2^cutoff_log)): same
+    result as device_levels(...)[-1], but wide levels are hashed THREE at a
+    time with the fused kernels (ops/merkle_pallas.leaf3_level/inner3_level)
+    so intermediate levels never touch HBM — ~5x less Merkle HBM traffic.
+    The prover keeps device_levels (its decommit gathers need every level)."""
+    from ..ops import merkle_pallas
+
+    assert columns.shape[0] == 4
+    n = columns.shape[1]
+    block = merkle_pallas.BLOCK
+    if not _use_pallas() or n % (8 * block) != 0:
+        return device_levels(columns, cutoff_log)[-1]
+    level = merkle_pallas.leaf3_level(columns, block)
+    while level.shape[1] % (8 * block) == 0:
+        level = merkle_pallas.inner3_level(level, block)
+    while level.shape[1] > max(1 << cutoff_log, 1):
+        half = level.shape[1] // 2
+        if half % block == 0:
+            level = merkle_pallas.inner_level(level, block)
+        else:
+            from .blake2s import compress_rows
+
+            msg = jnp.concatenate([level[:, :half], level[:, half:]], axis=0)
+            level = compress_rows(msg)
+    return level
+
+
 def host_levels_from(top: np.ndarray) -> list[np.ndarray]:
     """Finish the tree on host from the last device level ((8, m) uint32,
     natural order per level)."""

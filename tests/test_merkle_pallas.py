@@ -53,6 +53,109 @@ def test_leaf_kernel_blocking_matches_oracle():
         assert np.array_equal(got, expect[:, i * block : (i + 1) * block])
 
 
+def test_compress16_constant_folding_matches_oracle():
+    """Python-int message constants (the leaf kernel's 12 zero words and any
+    folded round-0 state) must fold to the exact same bits as arrays."""
+    rng = np.random.default_rng(7)
+    cols = rng.integers(0, P, (4, 128), dtype=np.uint32)
+    msg = np.zeros((16, 128), np.uint32)
+    msg[:4] = cols
+    expect = sb.compress_batch(msg)
+    got = np.stack([np.asarray(w) for w in mp._compress16(
+        [jnp.asarray(cols[i]) for i in range(4)] + [0] * 12
+    )])
+    assert np.array_equal(got, expect)
+    # non-zero constants fold identically too
+    msg2 = np.tile(rng.integers(0, 1 << 32, (16, 1), dtype=np.uint64)
+                   .astype(np.uint32), (1, 8))
+    msg2[:4] = rng.integers(0, 1 << 32, (4, 8), dtype=np.uint64).astype(np.uint32)
+    expect2 = sb.compress_batch(msg2)
+    got2 = np.stack([np.asarray(w) for w in mp._compress16(
+        [jnp.asarray(msg2[i]) for i in range(4)]
+        + [int(msg2[i, 0]) for i in range(4, 16)]
+    )])
+    assert np.array_equal(got2, expect2)
+
+
+def _oracle_levels(cols):
+    """All tree levels of a (4, n) column array (natural halves pairing)."""
+    n = cols.shape[1]
+    msg = np.zeros((16, n), np.uint32)
+    msg[:4] = cols
+    level = sb.compress_batch(msg)
+    levels = [level]
+    while level.shape[1] > 1:
+        half = level.shape[1] // 2
+        level = sb.compress_batch(
+            np.ascontiguousarray(
+                np.concatenate([level[:, :half], level[:, half:]], axis=0)
+            )
+        )
+        levels.append(level)
+    return levels
+
+
+def test_leaf3_kernel_blocking_matches_oracle():
+    """Emulate leaf3_level's 8 eighth-offset BlockSpecs in numpy; each output
+    block must equal the level-3 slice of the whole-tree oracle."""
+    rng = np.random.default_rng(8)
+    n, block = 2048, 128
+    cols = rng.integers(0, P, (4, n), dtype=np.uint32)
+    expect = _oracle_levels(cols)[3]  # (8, n/8)
+    eighth = n // 8
+    nb = eighth // block
+    for i in range(nb):
+        blocks = [
+            cols[:, (i + t * nb) * block : (i + t * nb + 1) * block]
+            for t in range(8)
+        ]
+        l0 = [
+            mp._compress16([jnp.asarray(b[r]) for r in range(4)] + [0] * 12)
+            for b in blocks
+        ]
+        got = np.stack([np.asarray(w) for w in mp._combine3(l0)])
+        assert np.array_equal(got, expect[:, i * block : (i + 1) * block])
+
+
+def test_inner3_kernel_blocking_matches_oracle():
+    rng = np.random.default_rng(9)
+    m_nodes, block = 2048, 128
+    level = rng.integers(0, 1 << 32, (8, m_nodes), dtype=np.uint64).astype(np.uint32)
+    levels = [level]
+    for _ in range(3):
+        half = levels[-1].shape[1] // 2
+        levels.append(sb.compress_batch(np.ascontiguousarray(
+            np.concatenate([levels[-1][:, :half], levels[-1][:, half:]], axis=0)
+        )))
+    expect = levels[3]
+    eighth = m_nodes // 8
+    nb = eighth // block
+    for i in range(nb):
+        qs = [
+            level[:, (i + t * nb) * block : (i + t * nb + 1) * block]
+            for t in range(8)
+        ]
+        got = np.stack([np.asarray(w) for w in mp._combine3(
+            [[jnp.asarray(q[w]) for w in range(8)] for q in qs]
+        )])
+        assert np.array_equal(got, expect[:, i * block : (i + 1) * block])
+
+
+def test_device_root_level_matches_device_levels():
+    """On CPU both take the jnp fallback, but device_root_level's shape
+    plumbing (fused-width asserts, cutoff semantics) must agree with
+    device_levels' top for the supported sizes."""
+    import jax
+
+    from frieda_tpu.core import merkle
+
+    rng = np.random.default_rng(10)
+    cols = jnp.asarray(rng.integers(0, P, (4, 1 << 12), dtype=np.uint32))
+    top_a = np.asarray(jax.jit(merkle.device_root_level)(cols))
+    top_b = np.asarray(jax.jit(lambda c: merkle.device_levels(c)[-1])(cols))
+    assert np.array_equal(top_a, top_b)
+
+
 def test_inner_kernel_blocking_matches_oracle():
     """inner_level pairs node j with j + M/2: lo blocks at index i, hi blocks
     at index i + half/block (the `i + _n` index map)."""
