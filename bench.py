@@ -123,8 +123,9 @@ def bench_commit(log_felts: int, log_blowup: int = 4, iters: int = 5):
         f"  breakdown 2^{log_felts}: host ingest (memcpy) {t_host*1e3:.1f} ms, "
         f"dispatch->root fetch {t_dev*1e3:.1f} ms of which tunnel round trip "
         f"{t_rtt*1e3:.1f} ms => device compute {t_kern*1e3:.1f} ms "
-        f"({rf['achieved_gbps']:.0f} GB/s, {rf['sol_fraction']*100:.0f}% of "
-        f"HBM SoL); residual vs e2e = raw word upload (tunnel)"
+        f"({rf['achieved_gbps']:.0f} GB/s moved, {rf['sol_fraction']*100:.0f}% "
+        f"of {rf['bound']}-bound SoL floor {rf['min_seconds_at_sol']*1e3:.1f} ms); "
+        f"residual vs e2e = raw word upload (tunnel)"
     )
     return n_felts / dt, dt
 

@@ -164,8 +164,8 @@ DEFAULT_LIKE = None  # set in main (import order)
 
 
 def pipelined_headline():
-    """Sustained 2^22-felt commit throughput (bench.py's headline metric);
-    recorded here as the regression floor bench.py checks against."""
+    """Sustained 2^22-felt e2e commit throughput (tunnel-inclusive);
+    recorded as the loose regression floor bench.py checks against."""
     import jax.numpy as jnp
 
     from frieda_tpu import api
@@ -185,6 +185,53 @@ def pipelined_headline():
     return (1 << 22) / dt
 
 
+def device_sustained_rows(quick: bool):
+    """Device-resident sustained commit at 2^22/2^24 — bench.py's headline
+    metric and its TIGHT regression-gate values."""
+    import bench as bench_mod
+
+    out = {}
+    for lf in (12,) if quick else (22, 24):
+        tput, dt = bench_mod.bench_device_sustained(lf)
+        out[str(lf)] = round(tput)
+        log(f"  device sustained 2^{lf}: {dt*1e3:.1f} ms/blob, {tput/1e6:.1f} M felts/s")
+    return out
+
+
+def commit_2pow26(quick: bool):
+    """BASELINE.md's largest config on ONE chip (VERDICT r3 item 3): a
+    2^26-felt commit (per-coordinate polys 2^24, eval domain 2^28 ~ 4 GiB of
+    evaluations). Device-resident sustained timing like the headline; on HBM
+    exhaustion the OOM is recorded instead of crashing the matrix."""
+    if quick:
+        return {"skipped": "quick mode"}
+    import jax.numpy as jnp
+
+    from frieda_tpu import api
+    from frieda_tpu.core import fft
+    from frieda_tpu.utils.packing import log_total_for, pad_to_words
+
+    n_bytes = (1 << 26) * 30 // 8
+    log_total = log_total_for(n_bytes)
+    try:
+        words_d = jax.device_put(pad_to_words(synthetic_data(n_bytes), log_total))
+        words_d.block_until_ready()
+        tw = fft.stage_twiddles(log_total - 2 + 4)
+        jax.device_get(api._commit_root_pipeline(words_d, tw, log_total))  # warm
+        t0 = time.perf_counter()
+        for _ in range(2):
+            jax.device_get(api._commit_root_pipeline(words_d, tw, log_total))
+        dt = (time.perf_counter() - t0) / 2
+        tput = (1 << 26) / dt
+        log(f"  2^26 commit (device-resident): {dt*1e3:.0f} ms, {tput/1e6:.1f} M felts/s")
+        return {"commit_ms_device": round(dt * 1e3, 1),
+                "felts_per_s_device": round(tput)}
+    except Exception as e:  # noqa: BLE001 — record OOM/compile failure as data
+        msg = str(e).split("\n")[0][:300]
+        log(f"  2^26 commit failed: {msg}")
+        return {"failed": msg}
+
+
 def main():
     global DEFAULT_LIKE
     from frieda_tpu.config import DEFAULT_CONFIG
@@ -198,11 +245,17 @@ def main():
     log("BASELINE.md config sweep:")
     sweep_rows = baseline_sweep(quick)
     headline = pipelined_headline()
-    log(f"headline: sustained 2^22-felt commit {headline/1e6:.1f} M felts/s")
+    log(f"e2e floor: sustained 2^22-felt commit {headline/1e6:.1f} M felts/s (tunnel-inclusive)")
+    log("device-resident sustained (bench.py headline + tight gate):")
+    dev_rows = device_sustained_rows(quick)
+    log("2^26 single-chip attempt (BASELINE.md largest config):")
+    row26 = commit_2pow26(quick)
     out = {
         "hardware": str(jax.devices()[0]),
         "config": "blowup 2^4, last-layer bound 0, 20 queries, 20 PoW bits (reference default)",
         "headline_felts_per_s": round(headline),
+        "device_sustained_felts_per_s": dev_rows,
+        "commit_2pow26": row26,
         "reference_matrix": ref_rows,
         "baseline_sweep": sweep_rows,
         "total_wall_s": round(time.time() - t_start, 1),
