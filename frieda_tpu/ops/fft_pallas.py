@@ -107,6 +107,59 @@ def _low_kernel_factory(stage_rows):
     return kernel
 
 
+def _butterfly_halves_full(x, tw_pairs, e: int):
+    """_butterfly_halves with a FULL per-pair twiddle table (M/2, 1) in
+    pair-first-element row order (needed when the table is not periodic in
+    the current row order — the tile-major dilated low pass)."""
+    m, lanes = x.shape
+    x4 = x.reshape(m // (2 * e), 2, e, lanes)
+    x0 = x4[:, 0]
+    u = m31_mul(tw_pairs.reshape(m // (2 * e), e, 1), x4[:, 1])
+    return jnp.stack([m31_add(x0, u), m31_sub(x0, u)], axis=1).reshape(m, lanes)
+
+
+def _low_dil_kernel_factory(stage_es, dil: int):
+    """Dilation-fused transposed low pass. The input block is the UNDILATED
+    (blk/dil, LANES) coefficients; the Reed-Solomon dilation happens in VMEM
+    as `dil` stacked copies (tile-major row order v' = v_lo*in_rows + v_hi,
+    a plain sublane concatenation Mosaic handles natively — the interleaved
+    v-order broadcast crashes its vector-layout pass). Butterfly distances
+    shrink to e' = 2^(p - p_min) rows and the twiddle tables arrive already
+    permuted to v'-order (_dil_low_tabs); the caller's transpose-out undoes
+    the row permutation for free (it is one reshaped XLA transpose either
+    way)."""
+
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        xc = x_ref[0]  # (blk/dil, LANES)
+        x = jnp.concatenate([xc] * dil, axis=0)
+        for i, e in enumerate(stage_es):
+            if e >= 8:
+                x = _butterfly_halves_full(x, refs[i][:, :], e)
+            else:
+                x = _butterfly_2d(x, refs[i][:, :], e)
+        out_ref[0] = x
+
+    return kernel
+
+
+def _dil_low_tabs(low_tabs, dil: int):
+    """Convert v-order (blk, 1) low-pass tables to the tile-major v'-order
+    the dilating kernel runs in: v = v_hi*dil + v_lo -> v' = v_lo*in_rows +
+    v_hi. Stages with e' >= 8 get the pair-compressed (blk/2, 1) form for
+    _butterfly_halves_full. Works on numpy or jnp arrays."""
+    out = []
+    for i, t in enumerate(low_tabs):
+        e_p = 1 << i  # e' = 2^(p - p_min) for the i-th executed low stage
+        blk = t.shape[0]
+        in_rows = blk // dil
+        tv2 = t.reshape(in_rows, dil).T.reshape(blk, 1)
+        if e_p >= 8:
+            tv2 = tv2.reshape(-1, 2, e_p)[:, 0].reshape(blk // 2, 1)
+        out.append(tv2)
+    return out
+
+
 def _mid_kernel_factory(stage_list):
     """Natural-layout mid pass. stage_list: [(rows, reps), ...]; tables are
     (rows, LB) inputs following x_ref, broadcast `reps` times up the mid
@@ -238,6 +291,42 @@ def _run_low_pass(w, n, p_min, c0, low_tabs, interpret):
     return wt.transpose(0, 2, 1).reshape(C, N)
 
 
+def _run_low_pass_dilating(coeffs_rev, n, p_min, c0, low_tabs, dil, interpret):
+    """Dilation-fused low pass: reads the UNDILATED (C, N/dil) coefficients
+    (the transpose-in moves dil x fewer bytes and the dilated array never
+    exists in HBM), runs the [p_min, c0) stages in tile-major v'-order in
+    VMEM, and un-permutes in the (single, reshaped) transpose-out."""
+    C = coeffs_rev.shape[0]
+    N = 1 << n
+    blk = 1 << c0
+    in_rows = blk // dil
+    nb = N // blk
+    ct = coeffs_rev.reshape(C, nb, in_rows).transpose(0, 2, 1)  # (C, in_rows, nb)
+    stage_es = tuple(1 << (p - p_min) for p in range(p_min, c0))
+    tabs = _dil_low_tabs(low_tabs, dil)
+    kern = _low_dil_kernel_factory(stage_es, dil)
+    wt = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((C, blk, nb), jnp.uint32),
+        grid=(C, nb // LANES),
+        in_specs=[
+            pl.BlockSpec((1, in_rows, LANES), lambda c, i: (c, 0, i),
+                         memory_space=pltpu.VMEM)
+        ]
+        + [
+            pl.BlockSpec(t.shape, lambda c, i: (0, 0), memory_space=pltpu.VMEM)
+            for t in tabs
+        ],
+        out_specs=pl.BlockSpec((1, blk, LANES), lambda c, i: (c, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ct, *tabs)
+    # wt rows are v' = v_lo*in_rows + v_hi; natural j = u*blk + v_hi*dil + v_lo
+    # -> axes (u, v_hi, v_lo): one reshaped transpose does un-permute +
+    # transpose-out together.
+    return wt.reshape(C, dil, in_rows, nb).transpose(0, 3, 2, 1).reshape(C, N)
+
+
 def _mid_lane_block(mid: int, lo: int) -> int:
     """Lane-block width for a mid pass: aim for ~2^16-element blocks (256 KB)
     so shallow groups (small `mid`) don't degenerate into thousands of tiny
@@ -323,15 +412,23 @@ def evaluate_fused(coeffs_rev: jnp.ndarray, n: int, interpret: bool = False,
             for b, c in groups
         ]
 
-    if L_len < N:  # Reed-Solomon dilation broadcast (bits [0, p_min) copies)
-        w = jnp.broadcast_to(
-            coeffs_rev[:, :, None], (C, L_len, N // L_len)
-        ).reshape(C, N)
+    dil = N // L_len
+    if c0 > p_min and dil > 1 and (1 << c0) // dil >= 8:
+        # dilation fused into the low pass: the kernel reads the UNDILATED
+        # coefficients (transpose-in moves dil x fewer bytes) and stacks
+        # copies in VMEM; the 2^p_min-times-larger dilated array never
+        # exists in HBM.
+        w = _run_low_pass_dilating(coeffs_rev, n, p_min, c0, low_tabs, dil,
+                                   interpret)
     else:
-        w = coeffs_rev
-
-    if c0 > p_min:
-        w = _run_low_pass(w, n, p_min, c0, low_tabs, interpret)
+        if L_len < N:  # Reed-Solomon dilation broadcast (bits [0, p_min))
+            w = jnp.broadcast_to(
+                coeffs_rev[:, :, None], (C, L_len, dil)
+            ).reshape(C, N)
+        else:
+            w = coeffs_rev
+        if c0 > p_min:
+            w = _run_low_pass(w, n, p_min, c0, low_tabs, interpret)
     for (b, c), tabs in zip(groups, mid_tabs):
         w = _run_mid_pass(w, n, b, c, tabs, interpret)
     return w

@@ -10,7 +10,10 @@ from frieda_tpu.ops import fft_pallas
 P = (1 << 31) - 1
 
 
-@pytest.mark.parametrize("n,log_l", [(16, 14), (16, 12), (17, 13), (16, 16)])
+# (16,14)/(16,12)/(17,13) take the dilation-fused low pass (dil 4/16/16);
+# (16,16) has no dilation; (14,9) has blk//dil < 8 -> broadcast fallback.
+@pytest.mark.parametrize("n,log_l", [(16, 14), (16, 12), (17, 13), (16, 16),
+                                     (14, 9)])
 def test_fused_matches_stage_loop(n, log_l):
     rng = np.random.default_rng(n * 100 + log_l)
     c = rng.integers(0, P, (2, 1 << log_l), dtype=np.uint32)
