@@ -124,7 +124,9 @@ def bench_commit(log_felts: int, log_blowup: int = 4, iters: int = 5):
         f"dispatch->root fetch {t_dev*1e3:.1f} ms of which tunnel round trip "
         f"{t_rtt*1e3:.1f} ms => device compute {t_kern*1e3:.1f} ms "
         f"({rf['achieved_gbps']:.0f} GB/s moved, {rf['sol_fraction']*100:.0f}% "
-        f"of {rf['bound']}-bound SoL floor {rf['min_seconds_at_sol']*1e3:.1f} ms); "
+        f"of {rf['bound']}-bound SoL floor {rf['min_seconds_at_sol']*1e3:.1f} ms "
+        f"calibrated / {rf['sol_fraction_analytic']*100:.0f}% of analytic-floor "
+        f"{rf['min_seconds_analytic']*1e3:.1f} ms); "
         f"residual vs e2e = raw word upload (tunnel)"
     )
     return n_felts / dt, dt
@@ -300,6 +302,9 @@ def _main_inner():
         with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
             f.write(json.dumps({
                 "ts": round(time.time(), 1),
+                # pre-round-4 lines carried the e2e headline in this field;
+                # the tag disambiguates the two semantics (ADVICE r4).
+                "headline_kind": tag,
                 "headline_log_felts": headline,
                 "e2e_felts_per_s": {str(kk): round(v[0], 1)
                                     for kk, v in (pipelined or results).items()},

@@ -65,6 +65,51 @@ def _dbitrev(x, bits: int):
 _INV2_M31 = (P + 1) // 2
 
 
+def _auth_sibling_nodes(stored: dict, cols, log_leaves: int, pos, k: int):
+    """(8, nq) hash words of the level-`k` auth-path nodes (the sibling of
+    each raw query's ancestor) for a PRUNED tree (merkle.device_levels_pruned).
+
+    stored: {level: (8, m) natural-order hash array}; cols: the (4, N) leaf
+    columns; pos: (nq,) uint32 query positions in STORED leaf order. Levels
+    missing from `stored` (the two intermediates of each fused 3-level group)
+    are recomputed from the nearest stored level below — or from the leaf
+    columns for levels 0..2 — by gathering the <= 2^r base nodes of each
+    needed subtree and compressing up: per query that is <= 4 gathered nodes
+    and <= 3 compressions, vs materializing the whole level to HBM."""
+    from .blake2s import compress_rows
+
+    sidx = (pos >> jnp.uint32(k)) ^ jnp.uint32(1)
+    if k in stored:
+        return stored[k][:, _dbitrev(sidx, log_leaves - k)]
+    nq = pos.shape[0]
+    base = 3 * (k // 3)
+    if base == 0 or base not in stored:
+        # rebuild from the leaf columns: r levels above the leaves
+        r = k
+        u = jnp.arange(1 << r, dtype=jnp.uint32)
+        leaf_idx = (sidx[:, None] << jnp.uint32(r)) | u[None, :]
+        nat = _dbitrev(leaf_idx.reshape(-1), log_leaves)
+        vals = cols[:, nat]  # (4, nq * 2^r)
+        msg = jnp.concatenate(
+            [vals, jnp.zeros((12, vals.shape[1]), jnp.uint32)], axis=0
+        )
+        h = compress_rows(msg)
+    else:
+        r = k - base
+        u = jnp.arange(1 << r, dtype=jnp.uint32)
+        child_idx = (sidx[:, None] << jnp.uint32(r)) | u[None, :]
+        nat = _dbitrev(child_idx.reshape(-1), log_leaves - base)
+        h = stored[base][:, nat]  # (8, nq * 2^r)
+    # combine stored-order sibling pairs upward r times: parent = H(2s, 2s+1)
+    h = h.reshape(8, nq, 1 << r)
+    for _ in range(r):
+        left = h[:, :, 0::2].reshape(8, -1)
+        right = h[:, :, 1::2].reshape(8, -1)
+        h = compress_rows(jnp.concatenate([left, right], axis=0))
+        h = h.reshape(8, nq, -1)
+    return h[:, :, 0]
+
+
 def _device_ifft_line(comps, xs_invs, depth: int):
     """Device last-layer interpolation: natural-order QM31 components
     (4-tuple of (M,) arrays) -> (M, 4) natural-order coefficients. Exact
@@ -190,18 +235,28 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         if has_seed:
             digest = dc.dc_mix_u64(digest, seed_lo, seed_hi)
         evals = shard_elem(evaluate(coeffs_rev, twiddles))
-        root0 = merkle.device_levels(evals, cutoff_log=0)[-1][:, 0]
+        # PRUNED tree builds (merkle.device_levels_pruned): wide levels are
+        # hashed 3-at-a-time and only every third level is kept; the decommit
+        # gathers below recompute the missing levels' few auth-path nodes on
+        # the fly (_auth_sibling_nodes). One build serves both the transcript
+        # root and the gathers — the 2-at-a-time full build this replaces ran
+        # once for the root and again (levels transient) for the gathers.
+        st0 = merkle.device_levels_pruned(evals)
+        root0 = st0[-1][1][:, 0]
         digest = dc.dc_mix_digest(digest, root0)
         alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))
         g = shard_elem(fold_c(evals, alpha, ys_inv))
         roots = [root0]
         layer_arrays = [evals]
+        tree_stores = [dict(st0)]
         for l in range(n_inner):
-            root_l = merkle.device_levels(g, cutoff_log=0)[-1][:, 0]
+            st = merkle.device_levels_pruned(g)
+            root_l = st[-1][1][:, 0]
             digest = dc.dc_mix_digest(digest, root_l)
             alpha, _ = dc.dc_draw_felt(digest, jnp.uint32(0))
             roots.append(root_l)
             layer_arrays.append(g)
+            tree_stores.append(dict(st))
             g = shard_elem(fold_l(g, alpha, xs_invs[l]))
         # The last layer is tiny (<= 2^(llb+blowup) values): replicate it so
         # the recursive interpolation below runs locally on every device.
@@ -228,9 +283,10 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
         # subset (each hash witness of a multi-opening is the sibling of an
         # ancestor of a queried leaf = an auth-path node), so the host
         # assembles the proof from this ONE packed fetch with zero further
-        # device traffic. Trees are recomputed transiently per layer (levels
-        # die after their gathers), keeping live HBM at O(N), not O(N) per
-        # tree (2^24-felt proofs must fit one v5e).
+        # device traffic. Trees are PRUNED (every 3rd level stored, ~N/7
+        # nodes per tree — device_levels_pruned above), so keeping them
+        # resident from transcript time to gather time costs far less HBM
+        # than one full tree (2^24-felt proofs must fit one v5e).
         packed = [
             jnp.stack(roots).reshape(-1),
             last_poly.reshape(-1),
@@ -248,11 +304,10 @@ def _fri_commit_fn(log_size: int, log_blowup: int, llb: int, n_queries: int,
             # both elements of each queried pair: (4, nq, 2)
             pv = jnp.stack([cols[:, nat0], cols[:, nat1]], axis=2)
             packed.append(replicate(pv).reshape(-1))
-            lv = merkle.device_levels(cols, cutoff_log=0)
+            stored = tree_stores[t]
             for k in range(log_leaves):
-                sidx = (pos >> jnp.uint32(k)) ^ jnp.uint32(1)
-                nat = _dbitrev(sidx, log_leaves - k)
-                packed.append(replicate(lv[k][:, nat]).reshape(-1))  # (8, nq)
+                nodes = _auth_sibling_nodes(stored, cols, log_leaves, pos, k)
+                packed.append(replicate(nodes).reshape(-1))  # (8, nq)
         return jnp.concatenate(packed)
 
     tables = (twiddles, ys_inv, xs_invs)
@@ -511,20 +566,74 @@ def _dispatch_commit_phase(data: bytes, seed, pcs_config: PcsConfig, mesh=None):
     return (outs, pcs_config, log_size, n, n_inner)
 
 
+def _blob_hbm_footprint_bytes(log_size: int, fri_cfg) -> int:
+    """Peak HBM bytes ONE in-flight commit-phase dispatch holds at domain
+    2^n (n = log_size + log_blowup). Additive model of what the dispatch
+    keeps resident from transcript time to gather time:
+      evaluations          4 cols x 4 B x N          = 16 N
+      folded layers        QM31 x (N/2 + N/4 + ...) ~= 16 N
+      pruned trees         ~N/7 nodes x 32 B over layers (N + N/2 + ...)
+                          ~=  9 N
+      FFT/ingest transients (double-buffered passes)  ~= 16 N
+    => ~57 N; rounded up to 64 N for headroom."""
+    n = log_size + fri_cfg.log_blowup_factor
+    return 64 * (1 << n)
+
+
+def _device_hbm_bytes() -> int:
+    """Best-effort HBM capacity of the attached device (bytes)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:  # noqa: BLE001 — backend without memory_stats
+        pass
+    return 16 << 30  # v5e default
+
+
+def safe_in_flight(log_size: int, fri_cfg) -> int:
+    """Largest prove_many window whose resident footprint fits in ~60% of
+    HBM (the rest is slack for XLA temporaries and fetch buffers)."""
+    budget = int(0.6 * _device_hbm_bytes())
+    return max(1, budget // _blob_hbm_footprint_bytes(log_size, fri_cfg))
+
+
 def prove_many(datas, seeds, pcs_config: PcsConfig = DEFAULT_CONFIG,
-               max_in_flight: int = 8):
+               max_in_flight: int | None = None):
     """Pipelined batch proving: keep up to `max_in_flight` blobs' commit
     phases dispatched ahead of the finish (fetch + decommit gathers) cursor.
     Returns a list of (commitment, Proof) in input order. Sustained-throughput
     counterpart of commit_and_generate_proof for production serving.
 
     The window bounds the device footprint: every in-flight blob holds its
-    evaluations + folded layers + tree levels in HBM until finished, so an
-    unbounded dispatch of large blobs (2^22+ domains) would exhaust HBM."""
+    evaluations + folded layers + pruned tree levels in HBM until finished
+    (_blob_hbm_footprint_bytes), so an unbounded dispatch of large blobs
+    (2^22+ domains) would exhaust HBM. Default (None): min(8, safe window
+    for the largest blob). An explicit request above the safe window is
+    CLAMPED with a warning rather than allowed to OOM (VERDICT r4 item 6)."""
+    from ..utils.packing import log_total_for
+
     datas = list(datas)
     seeds = list(seeds)
     if len(datas) != len(seeds):
         raise ValueError(f"{len(datas)} blobs but {len(seeds)} seeds")
+    if datas:
+        max_log_size = max(log_total_for(len(d)) for d in datas) - 2
+        safe = safe_in_flight(max_log_size, pcs_config.fri_config)
+        if max_in_flight is None:
+            max_in_flight = min(8, safe)
+        elif max_in_flight > safe:
+            import warnings
+
+            warnings.warn(
+                f"prove_many window {max_in_flight} exceeds the HBM-safe "
+                f"window {safe} for 2^{max_log_size}-felt blobs at blowup "
+                f"2^{pcs_config.fri_config.log_blowup_factor}; clamping",
+                stacklevel=2,
+            )
+            max_in_flight = safe
+    else:
+        max_in_flight = max_in_flight or 8
     assert max_in_flight >= 1
     out = []
     ctxs: list = []
@@ -748,6 +857,17 @@ def _verify_proof_inner(proof: Proof, seed) -> bool:
             ):
                 return False
     except (AttributeError, TypeError, ValueError):
+        return False
+    # Explicit config-bounds validation (not just FriConfig's asserts, which
+    # `python -O` strips): a deserialized proof claiming blowup 0 would read
+    # one past the twiddle layer tables (circle._line_layer_tables) and raise
+    # instead of returning False. Mirrors the dataclass invariants.
+    if not (
+        1 <= fri_cfg.log_blowup_factor <= 16
+        and 0 <= fri_cfg.log_last_layer_degree_bound <= 10
+        and fri_cfg.n_queries >= 1
+        and 0 <= cfg.pow_bits <= 60
+    ):
         return False
     n = log_size + fri_cfg.log_blowup_factor
     last_log = fri_cfg.log_last_layer_degree_bound + fri_cfg.log_blowup_factor

@@ -93,7 +93,10 @@ def device_root_level(columns: jnp.ndarray, cutoff_log: int = HOST_CUTOFF_LOG):
     if not _use_pallas() or n % (8 * block) != 0:
         return device_levels(columns, cutoff_log)[-1]
     level = merkle_pallas.leaf3_level(columns, block)
-    while level.shape[1] % (8 * block) == 0:
+    # Never fuse past the cutoff: device_levels stops at the first level of
+    # width <= 2^cutoff_log (== exactly 2^cutoff_log for power-of-2 inputs),
+    # so an inner3 step is only valid while its output is still >= that.
+    while level.shape[1] % (8 * block) == 0 and level.shape[1] // 8 >= (1 << cutoff_log):
         level = merkle_pallas.inner3_level(level, block)
     while level.shape[1] > max(1 << cutoff_log, 1):
         half = level.shape[1] // 2
@@ -105,6 +108,77 @@ def device_root_level(columns: jnp.ndarray, cutoff_log: int = HOST_CUTOFF_LOG):
             msg = jnp.concatenate([level[:, :half], level[:, half:]], axis=0)
             level = compress_rows(msg)
     return level
+
+
+def device_levels_pruned(columns: jnp.ndarray):
+    """Pruned tree build for the PROVER's decommit gathers (VERDICT r4 item
+    3): wide levels are hashed three at a time — on TPU via the fused Pallas
+    kernels, so the two intermediate levels never touch HBM — and only every
+    THIRD level is materialized. The decommit only ever gathers ~n_queries
+    auth-path nodes per level, so the missing levels are recomputed at gather
+    time from the stored level below (fri._auth_sibling_nodes): <= 4 node
+    gathers + <= 3 tiny compressions per query per missing level. This cuts
+    the prover's per-tree Merkle HBM traffic from ~2 full 2-at-a-time builds
+    (~7 bytes/leaf-byte: one for the root, one re-build for the gathers) to
+    the root-only commit path's ~1.1, and the resident tree storage from ~2N
+    nodes to ~N/7.
+
+    The 3-level grouping is decided by SHAPE ONLY (width % (8*BLOCK) == 0),
+    not by backend, so the CPU test mesh exercises exactly the same stored-
+    level structure and gather/recompute logic as the real TPU (computing the
+    grouped levels with three jnp passes there).
+
+    columns: (4, N) natural-order uint32. Returns a list of
+    (level_index, (8, m) array) pairs, leaf level = 0, ending with the
+    width-1 root level (level log2 N)."""
+    from ..ops import merkle_pallas
+    from .blake2s import compress_rows
+
+    assert columns.shape[0] == 4
+    n = columns.shape[1]
+    pallas_ok = _use_pallas()
+    block = merkle_pallas.BLOCK
+
+    def one_level(level):
+        half = level.shape[1] // 2
+        if pallas_ok and half % block == 0:
+            return merkle_pallas.inner_level(level, block)
+        msg = jnp.concatenate([level[:, :half], level[:, half:]], axis=0)
+        return compress_rows(msg)
+
+    def leaf_once(cols):
+        if pallas_ok and cols.shape[1] % block == 0:
+            return merkle_pallas.leaf_level(cols, block)
+        msg = jnp.concatenate(
+            [cols, jnp.zeros((12, cols.shape[1]), jnp.uint32)], axis=0
+        )
+        return compress_rows(msg)
+
+    stored = []
+    lev = 0
+    if n % (8 * block) == 0:
+        if pallas_ok:
+            level = merkle_pallas.leaf3_level(columns, block)
+        else:
+            # leaf hash (level 0, width N) + three pair-combines -> level 3
+            level = one_level(one_level(one_level(leaf_once(columns))))
+        lev = 3
+        stored.append((lev, level))
+        while level.shape[1] % (8 * block) == 0:
+            if pallas_ok:
+                level = merkle_pallas.inner3_level(level, block)
+            else:
+                level = one_level(one_level(one_level(level)))
+            lev += 3
+            stored.append((lev, level))
+    else:
+        level = leaf_once(columns)
+        stored.append((0, level))
+    while level.shape[1] > 1:
+        level = one_level(level)
+        lev += 1
+        stored.append((lev, level))
+    return stored
 
 
 def host_levels_from(top: np.ndarray) -> list[np.ndarray]:

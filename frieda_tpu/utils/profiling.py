@@ -88,8 +88,47 @@ def span(name: str, out=_SENTINEL):
 # against measured chained-pass timings (module docstring).
 _VPU_OPS = {"v5e": 3.9e12, "v5p": 15.6e12, "v4": 7.8e12, "v6e": 7.8e12,
             "cpu": 1e11}
-BLAKE_OPS_PER_COMPRESS = 1300  # post-constant-folding, measured-consistent
-FFT_OPS_PER_ELEMENT_STAGE = 28  # halves-form butterfly, int-multiply-heavy
+
+# ---------------------------------------------------------------------------
+# Analytic per-op derivations (VERDICT r4 item 4) — counts a reviewer can
+# re-derive from the kernel source, independent of our own measurements.
+#
+# BLAKE2s compression (ops/merkle_pallas._compress16, 10 rounds x 8 G):
+#   one G (RFC 7693): 6 adds, 4 xors, 4 rotates. The VPU has no rotate
+#   instruction, so ror r = shr + shl + or = 3 ops — EXCEPT that ror16/ror8
+#   are byte-aligned and can lower to a single byte-shuffle op. Two bounds:
+#     rotate=3 ops each : G = 6 + 4 + 4*3        = 22 -> 10*8*22 + 16 = 1776
+#     ror16/8 single-op : G = 6 + 4 + (3+3+1+1)  = 18 -> 10*8*18 + 16 = 1456
+#   (+16 is the final v[i]^v[i+8] feed-forward xor over 8 output words.)
+#   Leaf compressions constant-fold further (12 of 16 message words are the
+#   literal 0, and the all-constant state makes ~6 of round-0's G's free):
+#   ~120 skipped zero-adds + ~120 folded round-0 ops => leaf ~= inner - 240.
+#   A tree hashes ~N leaves + ~N inner nodes, so the mixed average is
+#     lower bound: ((1456-240) + 1456)/2 = 1336
+#     upper bound: ((1776-240) + 1776)/2 = 1656
+#   The CALIBRATED 1300 (chained leaf+2-level passes, dispatch subtracted)
+#   sits ~3% below the byte-shuffle-rotate bound — i.e. the measured kernel
+#   is consistent with Mosaic emitting single-op byte-aligned rotates; under
+#   the 3-op-rotate model it would imply the VPU sustains ~1.27x the 4-ALU
+#   issue model, which we consider less likely.
+#
+# FFT butterfly (ops/fft_pallas._butterfly_halves): per PAIR of elements one
+# m31_mul + m31_add + m31_sub (core/field.py):
+#   m31_mul : 4 limb splits + 4 multiplies + 1 add + 2 (lo) + 2 (carry)
+#             + 3 (hi) + 5 (fold 2^32) + 3 (fold 2^31) + 3 (canonicalize)
+#           = 27 ops at 1-op multiplies
+#   m31_add : add + cmp + select + sub = 4;   m31_sub: 5
+#   => per element-stage (pair/2): (27+4+5)/2 = 18 at mul=1 op,
+#      20 at mul=2, 24 at mul=4.
+#   The CALIBRATED 28 says the real pass runs at ~64% of the mul=1 analytic
+#   floor — the gap is the VPU's true multiply latency plus the pass's
+#   non-butterfly work (twiddle limb splits, tile realignment copies), which
+#   the floor deliberately excludes.
+# ---------------------------------------------------------------------------
+BLAKE_OPS_PER_COMPRESS = 1300  # calibrated; analytic bounds [1336, 1656]
+BLAKE_OPS_ANALYTIC_FLOOR = 1336
+FFT_OPS_PER_ELEMENT_STAGE = 28  # calibrated; analytic floor 18
+FFT_OPS_ANALYTIC_FLOOR = 18
 
 
 def vpu_ops() -> float:
@@ -144,15 +183,18 @@ def fft_roofline(log_domain: int, seconds: float, columns: int = 4,
     }
 
 
-def merkle_roofline(log_leaves: int, seconds: float) -> dict:
+def merkle_roofline(log_leaves: int, seconds: float, fused: bool = True) -> dict:
     """Roofline for a full tree over 2^log_leaves leaves (4 u32 columns).
 
-    Ideal traffic: leaves read 16B write 32B; each inner level reads 2x32B
-    and writes 32B per parent. Total ~= 48*N + 96*(N-1) bytes. Hash count
-    2N - 1 raw-blake2s compressions.
-    """
+    fused=True (the deployed root/prover path, 3 levels per HBM pass —
+    ops/merkle_pallas.leaf3/inner3): leaf pass reads 16 B/leaf and writes
+    one 32 B node per 8 leaves (20 N); each inner3 pass reads 32 B/node over
+    N/8^k nodes and writes N/8^(k+1) => ~32N*(1/8+1/64+..)*(1+1/8) ~= 5 N.
+    Total ~= 25 N bytes.
+    fused=False (2-at-a-time, every level in HBM): 48 N + 96 (N-1).
+    Hash count is 2N - 1 raw-blake2s compressions either way."""
     n = 1 << log_leaves
-    bytes_moved = 48 * n + 96 * (n - 1)
+    bytes_moved = 25 * n if fused else 48 * n + 96 * (n - 1)
     hashes = 2 * n - 1
     achieved = bytes_moved / seconds / 1e9
     ceiling = hbm_gbps()
@@ -180,8 +222,11 @@ def commit_roofline(log_domain: int, seconds: float, log_l: int | None = None,
     # executed butterfly stages = log_l (bits [log_domain - log_l, log_domain))
     fft_ops = columns * n * ll * FFT_OPS_PER_ELEMENT_STAGE
     blake_ops = mk["hashes"] * BLAKE_OPS_PER_COMPRESS
+    fft_ops_floor = columns * n * ll * FFT_OPS_ANALYTIC_FLOOR
+    blake_ops_floor = mk["hashes"] * BLAKE_OPS_ANALYTIC_FLOOR
     t_hbm = bytes_moved / (hbm_gbps() * 1e9)
     t_vpu = (fft_ops + blake_ops) / vpu_ops()
+    t_vpu_floor = (fft_ops_floor + blake_ops_floor) / vpu_ops()
     t_sol = max(t_hbm, t_vpu)
     return {
         "kernel": "commit_e2e",
@@ -193,4 +238,10 @@ def commit_roofline(log_domain: int, seconds: float, log_l: int | None = None,
         "bound": "vpu" if t_vpu >= t_hbm else "hbm",
         "min_seconds_at_sol": t_sol,
         "sol_fraction": t_sol / seconds,
+        # model-vs-measured (VERDICT r4 item 4): the calibrated fraction
+        # above grades against constants fit to our own kernels; this one
+        # grades against the re-derivable analytic op-count floor
+        # (BLAKE_OPS_ANALYTIC_FLOOR / FFT_OPS_ANALYTIC_FLOOR derivations).
+        "min_seconds_analytic": max(t_hbm, t_vpu_floor),
+        "sol_fraction_analytic": max(t_hbm, t_vpu_floor) / seconds,
     }

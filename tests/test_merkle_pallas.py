@@ -156,6 +156,38 @@ def test_device_root_level_matches_device_levels():
     assert np.array_equal(top_a, top_b)
 
 
+def test_pruned_levels_and_auth_gathers_match_full_tree():
+    """device_levels_pruned + fri._auth_sibling_nodes vs the full 2-at-a-time
+    build: every stored level must equal the full build's level at the SAME
+    index, and the recomputed auth-path nodes of every (missing or stored)
+    level must equal a direct gather from the full tree. Runs at 2^15 leaves,
+    the smallest width where the 3-level fused grouping engages (this is the
+    shape class where an off-by-one in the grouped fallback once shifted
+    every stored level by one — caught only at fused widths)."""
+    import jax
+
+    from frieda_tpu.core import merkle
+    from frieda_tpu.core.fri import _auth_sibling_nodes, _dbitrev
+
+    rng = np.random.default_rng(11)
+    log_leaves = 15
+    n = 1 << log_leaves
+    cols = jnp.asarray(rng.integers(0, P, (4, n), dtype=np.uint32))
+    full = merkle.device_levels(cols, cutoff_log=0)
+    pruned = merkle.device_levels_pruned(cols)
+    assert [lv for lv, _ in pruned][:2] == [3, 4]  # fused grouping engaged
+    assert pruned[-1][0] == log_leaves  # ends at the width-1 root level
+    for lv, arr in pruned:
+        assert np.array_equal(np.asarray(arr), np.asarray(full[lv])), lv
+    stored = dict(pruned)
+    pos = jnp.asarray(rng.integers(0, n, size=20, dtype=np.uint32))
+    for k in range(log_leaves):
+        got = np.asarray(_auth_sibling_nodes(stored, cols, log_leaves, pos, k))
+        sidx = (np.asarray(pos) >> k) ^ 1
+        nat = np.asarray(_dbitrev(jnp.asarray(sidx, jnp.uint32), log_leaves - k))
+        assert np.array_equal(got, np.asarray(full[k])[:, nat]), k
+
+
 def test_inner_kernel_blocking_matches_oracle():
     """inner_level pairs node j with j + M/2: lo blocks at index i, hi blocks
     at index i + half/block (the `i + _n` index map)."""

@@ -172,6 +172,26 @@ def test_unsatisfiable_config_raises():
         api.commit_and_prove(b"\x01", 7, cfg)
 
 
+def test_prove_many_hbm_window(monkeypatch):
+    """The in-flight window is sized from the config's resident HBM
+    footprint (VERDICT r4 item 6): large blobs must not default to 8 in
+    flight on a 16 GB device, and an over-window request clamps with a
+    warning instead of OOMing."""
+    from frieda_tpu.core import fri
+
+    # 2^22 felts at blowup 2^4 => domain 2^26, ~4.3 GB resident per blob:
+    # at most 2 fit in 60% of 16 GB.
+    monkeypatch.setattr(fri, "_device_hbm_bytes", lambda: 16 << 30)
+    assert 1 <= fri.safe_in_flight(22, FriConfig(4, 0, 20)) <= 2
+    # shrink the "device" so tiny test blobs trigger the clamp path for real
+    monkeypatch.setattr(fri, "_device_hbm_bytes", lambda: 64 << 10)
+    cfg = PcsConfig(pow_bits=4, fri_config=FriConfig(2, 0, 8))
+    datas = [bytes((i * k + 3) % 256 for i in range(512)) for k in (5, 9)]
+    with pytest.warns(UserWarning, match="clamping"):
+        batch = fri.prove_many(datas, [1, 2], cfg, max_in_flight=8)
+    assert all(api.verify(p, s) for s, (_, p) in zip([1, 2], batch))
+
+
 def test_prove_many_matches_sequential():
     """Pipelined batch proving must produce exactly the proofs the
     sequential path produces (same transcripts, same wire bytes)."""
