@@ -161,12 +161,19 @@ def bench_commit_pipelined(log_felts: int, log_blowup: int = 4, k: int = 6,
     return (1 << log_felts) / best, best
 
 
-def bench_device_sustained(log_felts: int, log_blowup: int = 4, k: int = 5):
+def bench_device_sustained(log_felts: int, log_blowup: int = 4, k: int | None = None):
     """Tunnel-insensitive sustained commit throughput: same pipelined root
     dispatch, but the input words are already device-resident, so the number
     reflects only what the chip does (ingest unpack + LDE + Merkle). This is
     the primary regression-gate metric — the e2e numbers above ride on
-    tunnel weather."""
+    tunnel weather.
+
+    k (blobs per timed batch) defaults high enough that the ONE tunnel round
+    trip per batch is amortized below ~5% of the number: at small sizes
+    RTT/k otherwise dominates (RTT ~28 ms / 8 = 3.5 ms vs ~1 ms of 2^16
+    compute — the k=5 form overstated small-blob cost ~4x)."""
+    if k is None:
+        k = 64 if log_felts <= 20 else 8
     import jax.numpy as jnp
 
     from frieda_tpu import api
@@ -187,6 +194,40 @@ def bench_device_sustained(log_felts: int, log_blowup: int = 4, k: int = 5):
         dts.append((time.perf_counter() - t0) / k)
     dt = statistics.median(dts)
     return (1 << log_felts) / dt, dt
+
+
+def bench_prove_device(log_felts: int, n_queries: int = 20, window: int = 4):
+    """Device-sustained proof generation (VERDICT r4 item 3): raw words
+    pre-staged on device, up to `window` commit phases in flight ahead of the
+    finish cursor (clamped to the HBM-safe window), so compute overlaps the
+    small packed decommit fetches. Excludes the raw-word upload exactly like
+    the commit headline (and for the same reason: the remote tunnel otherwise
+    dominates — a production host feeds chips over PCIe); includes the
+    transcript, grind, decommit gathers, packed fetch, and host assembly.
+    Returns (ms_per_proof, proofs verified ok)."""
+    from frieda_tpu import api
+    from frieda_tpu.config import FriConfig, PcsConfig
+    from frieda_tpu.core import fri
+    from frieda_tpu.utils.packing import log_total_for, pad_to_words
+
+    cfg = PcsConfig(pow_bits=20, fri_config=FriConfig(4, 0, n_queries))
+    n_bytes = (1 << log_felts) * 30 // 8
+    log_total = log_total_for(n_bytes)
+    words_d = jax.device_put(pad_to_words(synthetic_data(n_bytes), log_total))
+    words_d.block_until_ready()
+    _, proof = fri.finish_proof(
+        fri.dispatch_commit_phase_staged(words_d, log_total, 7, cfg)
+    )  # warm / compile
+    window = max(1, min(window, fri.safe_in_flight(log_total - 2, cfg.fri_config)))
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ctxs = [fri.dispatch_commit_phase_staged(words_d, log_total, 7, cfg)
+                for _ in range(window)]
+        proofs = [fri.finish_proof(c) for c in ctxs]
+        dts.append((time.perf_counter() - t0) / window)
+    ok = api.verify(proofs[-1][1], 7)
+    return statistics.median(dts) * 1e3, ok
 
 
 def main():
@@ -264,6 +305,30 @@ def _main_inner():
     except Exception as e:  # noqa: BLE001
         log(f"prove/verify bench failed: {e}")
 
+    # Proof generation at the BASELINE.md sizes (VERDICT r4 item 3):
+    # device-sustained (tunnel-insensitive, like the commit headline) plus a
+    # tunnel-inclusive e2e single-proof latency for the record.
+    prove_rows = {}
+    for log_felts, nq in (() if smoke else ((20, 64), (24, 20))):
+        try:
+            dev_ms, ok = bench_prove_device(log_felts, nq)
+            assert ok
+            from frieda_tpu.config import FriConfig, PcsConfig
+
+            cfg = PcsConfig(pow_bits=20, fri_config=FriConfig(4, 0, nq))
+            data = synthetic_data((1 << log_felts) * 30 // 8)
+            t_e2e, (_, proof) = median_time(
+                lambda: api.commit_and_prove(data, 7, cfg), 2
+            )
+            prove_rows[f"2^{log_felts}_{nq}q"] = {
+                "device_sustained_ms": round(dev_ms, 1),
+                "e2e_ms": round(t_e2e * 1e3, 1),
+            }
+            log(f"prove 2^{log_felts} felts ({nq}q): {dev_ms:.0f} ms/proof "
+                f"device-sustained, {t_e2e*1e3:.0f} ms e2e (tunnel-inclusive)")
+        except Exception as e:  # noqa: BLE001
+            log(f"prove bench 2^{log_felts} failed: {e}")
+
     # Headline: device-resident sustained commit at the largest size
     # (apples-to-apples with the reference's RAM-resident CPU bench — see
     # module docstring). Falls back to the e2e sweeps if the device metric
@@ -291,6 +356,8 @@ def _main_inner():
         e2e = max(pipelined)
         out["e2e_with_tunnel_upload_felts_per_s"] = round(pipelined[e2e][0], 1)
         out["e2e_log_felts"] = e2e
+    if prove_rows:
+        out["prove"] = prove_rows
     print(json.dumps(out))
 
     if smoke:
@@ -310,6 +377,7 @@ def _main_inner():
                                     for kk, v in (pipelined or results).items()},
                 "device_felts_per_s": {str(kk): round(v[0], 1)
                                        for kk, v in device_sustained.items()},
+                "prove": prove_rows,
             }) + "\n")
     except OSError as e:
         log(f"history append failed: {e}")

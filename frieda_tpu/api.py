@@ -35,6 +35,11 @@ def _commit_pipeline(words, twiddles, log_total):
     return evals, dlevels
 
 
+def _commit_root_impl(words, twiddles, log_total):
+    evals = fft.evaluate_auto(device_ingest_rev(words, log_total - 2), twiddles)
+    return merkle.device_root_level(evals)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _commit_root_pipeline(words, twiddles, log_total):
     """Raw uint32 words -> (8, <=2^HOST_CUTOFF_LOG) top device level. One
@@ -43,8 +48,39 @@ def _commit_root_pipeline(words, twiddles, log_total):
     TPU, so they finish on host via the native runtime (merkle.py:35).
     Root-only: wide levels use the fused 3-level kernels (no intermediate
     level ever hits HBM — merkle.device_root_level)."""
-    evals = fft.evaluate_auto(device_ingest_rev(words, log_total - 2), twiddles)
-    return merkle.device_root_level(evals)
+    return _commit_root_impl(words, twiddles, log_total)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _commit_root_pipeline_batch(words_batch, twiddles, log_total):
+    """vmapped _commit_root_pipeline over a leading blob axis: ONE dispatch
+    commits a whole batch of equal-sized blobs. Small blobs are launch-bound,
+    not compute-bound (a 2^16-felt commit is ~0.3 ms of device work behind
+    ~3 ms of per-dispatch overhead on a remote-attached chip), so batching is
+    how a many-small-blob DAS ingest pipeline reaches device speed-of-light;
+    vmap lifts the Pallas kernels by prepending a batch grid dimension."""
+    return jax.vmap(lambda w: _commit_root_impl(w, twiddles, log_total))(words_batch)
+
+
+def commit_many(datas, log_blowup_factor: int) -> list:
+    """Commit a batch of EQUAL-SIZED blobs in one device dispatch + one
+    fetch; returns a list of 32-byte roots, each bit-exact with
+    commit(data, log_blowup_factor). For the many-small-blob serving shape
+    (DAS samples) this amortizes the per-dispatch launch overhead that
+    dominates sub-2^18 commits."""
+    datas = list(datas)
+    if not datas:
+        return []
+    log_total = log_total_for(len(datas[0]))
+    if any(log_total_for(len(d)) != log_total for d in datas):
+        raise ValueError("commit_many requires equal padded sizes")
+    n = log_total - 2 + log_blowup_factor
+    twiddles = fft.stage_twiddles(n)
+    words = np.stack([pad_to_words(d, log_total) for d in datas])
+    tops = jax.device_get(
+        _commit_root_pipeline_batch(jnp.asarray(words), twiddles, log_total)
+    )
+    return [_finish_root(np.asarray(t)) for t in tops]
 
 
 def _finish_root(top_words) -> bytes:

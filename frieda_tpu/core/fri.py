@@ -84,7 +84,12 @@ def _auth_sibling_nodes(stored: dict, cols, log_leaves: int, pos, k: int):
     nq = pos.shape[0]
     base = 3 * (k // 3)
     if base == 0 or base not in stored:
-        # rebuild from the leaf columns: r levels above the leaves
+        # rebuild from the leaf columns: r levels above the leaves. Only
+        # levels 1-2 of a fused tree land here — device_levels_pruned stores
+        # EVERY multiple-of-3 level, so any k >= 3 has its base below it (a
+        # <= 4-node rebuild); a 2^k-node rebuild from the leaves would be a
+        # structural bug, not a fallback.
+        assert k <= 2, (k, sorted(stored))
         r = k
         u = jnp.arange(1 << r, dtype=jnp.uint32)
         leaf_idx = (sidx[:, None] << jnp.uint32(r)) | u[None, :]
@@ -501,7 +506,25 @@ def _line_x_at(n: int, layer: int, j: int) -> int:
 # Prover
 # ---------------------------------------------------------------------------
 
-def _dispatch_commit_phase(data: bytes, seed, pcs_config: PcsConfig, mesh=None):
+def dispatch_commit_phase_staged(words_dev, log_total: int, seed,
+                                 pcs_config: PcsConfig = DEFAULT_CONFIG):
+    """_dispatch_commit_phase for an ALREADY-DEVICE-RESIDENT raw word stream
+    (pad_to_words layout): skips host ingest + upload. Returns the same
+    opaque context (finish with finish_proof). This is the path a production
+    serving pipeline with device-side ingest uses, and what
+    bench.py's device-sustained prove metric times (the remote tunnel's
+    upload bandwidth otherwise dominates large-blob prove latency)."""
+    return _dispatch_commit_phase(None, seed, pcs_config,
+                                  _staged=(words_dev, log_total))
+
+
+def finish_proof(ctx):
+    """Public alias of _finish_proof (pairs with dispatch_commit_phase_staged)."""
+    return _finish_proof(ctx)
+
+
+def _dispatch_commit_phase(data, seed, pcs_config: PcsConfig, mesh=None,
+                           _staged=None):
     """Async half of proving: one device dispatch of the full FRI commit
     phase. Returns an opaque context consumed by _finish_proof; dispatching
     several blobs before finishing any overlaps their uploads/compute.
@@ -517,7 +540,10 @@ def _dispatch_commit_phase(data: bytes, seed, pcs_config: PcsConfig, mesh=None):
     fri_cfg = pcs_config.fri_config
     device_ingest = mesh is None
     with span("prove/ingest"):
-        if device_ingest:
+        if _staged is not None:
+            coeffs, log_total = _staged
+            log_size = log_total - 2
+        elif device_ingest:
             log_size = log_total_for(len(data)) - 2
             coeffs = pad_to_words(data, log_size + 2)  # raw words; unpack on device
         else:

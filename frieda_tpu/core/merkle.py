@@ -83,30 +83,43 @@ def device_root_level(columns: jnp.ndarray, cutoff_log: int = HOST_CUTOFF_LOG):
     """Top device level for ROOT-ONLY commits ((8, <= 2^cutoff_log)): same
     result as device_levels(...)[-1], but wide levels are hashed THREE at a
     time with the fused kernels (ops/merkle_pallas.leaf3_level/inner3_level)
-    so intermediate levels never touch HBM — ~5x less Merkle HBM traffic.
-    The prover keeps device_levels (its decommit gathers need every level)."""
+    so intermediate levels never touch HBM — ~5x less Merkle HBM traffic —
+    and the narrow remainder collapses to the cutoff width in ONE kernel
+    with every intermediate level in VMEM (merkle_pallas.collapse_level;
+    the per-level jnp fallback it replaces cost ~6-12 tiny dispatches that
+    dominated small-blob commits). The prover uses device_levels_pruned
+    (its decommit gathers need stored levels)."""
     from ..ops import merkle_pallas
 
     assert columns.shape[0] == 4
     n = columns.shape[1]
     block = merkle_pallas.BLOCK
-    if not _use_pallas() or n % (8 * block) != 0:
+    cut = max(1 << cutoff_log, 1)
+    if not _use_pallas() or n % block != 0:
         return device_levels(columns, cutoff_log)[-1]
-    level = merkle_pallas.leaf3_level(columns, block)
-    # Never fuse past the cutoff: device_levels stops at the first level of
-    # width <= 2^cutoff_log (== exactly 2^cutoff_log for power-of-2 inputs),
-    # so an inner3 step is only valid while its output is still >= that.
-    while level.shape[1] % (8 * block) == 0 and level.shape[1] // 8 >= (1 << cutoff_log):
-        level = merkle_pallas.inner3_level(level, block)
-    while level.shape[1] > max(1 << cutoff_log, 1):
-        half = level.shape[1] // 2
-        if half % block == 0:
-            level = merkle_pallas.inner_level(level, block)
-        else:
+    if n % (8 * block) == 0:
+        level = merkle_pallas.leaf3_level(columns, block)
+        # Never fuse past the cutoff: device_levels stops at the first level
+        # of width <= 2^cutoff_log (== exactly 2^cutoff_log for power-of-2
+        # inputs), so an inner3 step is only valid while its output >= that.
+        while level.shape[1] % (8 * block) == 0 and level.shape[1] // 8 >= cut:
+            level = merkle_pallas.inner3_level(level, block)
+    else:
+        level = merkle_pallas.leaf_level(columns, block)
+    # wide non-fusable remainder (large cutoff_log stops the fused loop
+    # early): 2-at-a-time passes until the collapse fits in VMEM
+    while level.shape[1] > max(cut, 8 * block) and (level.shape[1] // 2) % block == 0:
+        level = merkle_pallas.inner_level(level, block)
+    if level.shape[1] > cut:
+        if level.shape[1] <= 8 * block:
+            level = merkle_pallas.collapse_level(level, cut)
+        else:  # unreachable for power-of-2 widths; keep a correct fallback
             from .blake2s import compress_rows
 
-            msg = jnp.concatenate([level[:, :half], level[:, half:]], axis=0)
-            level = compress_rows(msg)
+            while level.shape[1] > cut:
+                half = level.shape[1] // 2
+                msg = jnp.concatenate([level[:, :half], level[:, half:]], axis=0)
+                level = compress_rows(msg)
     return level
 
 
@@ -174,10 +187,34 @@ def device_levels_pruned(columns: jnp.ndarray):
     else:
         level = leaf_once(columns)
         stored.append((0, level))
-    while level.shape[1] > 1:
-        level = one_level(level)
-        lev += 1
-        stored.append((lev, level))
+    # Narrow tail (below the fused-group width): still store only every
+    # THIRD level, plus the width-1 root the transcript needs. The widths
+    # are m/8^j (every third level down to width < 8), so together with the
+    # fused region EVERY multiple-of-3 level of the tree is stored — which
+    # is exactly the invariant fri._auth_sibling_nodes' base = 3*(k//3)
+    # lookup relies on. Structure is shape-only; on TPU the whole tail is
+    # ONE collapse kernel (all intermediates in VMEM), on other backends a
+    # jnp loop computes the same stored set.
+    m = level.shape[1]
+    if m > 1:
+        tail_widths = []
+        w = m
+        while w >= 8:
+            w //= 8
+            tail_widths.append(w)
+        if not tail_widths or tail_widths[-1] != 1:
+            tail_widths.append(1)
+        if pallas_ok and m >= 128:
+            outs = merkle_pallas.collapse_multi(level, tuple(tail_widths))
+        else:
+            outs = []
+            cur = level
+            for target in tail_widths:
+                while cur.shape[1] > target:
+                    cur = one_level(cur)
+                outs.append(cur)
+        for wdt, arr in zip(tail_widths, outs):
+            stored.append((lev + (m // wdt).bit_length() - 1, arr))
     return stored
 
 

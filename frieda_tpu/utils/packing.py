@@ -159,14 +159,32 @@ def device_ingest_rev(words, log_size: int):
     coefficient bit-reversal). Bit-exact with
     fft.apply_bitrev(device_unpack(...), perm) (tests/test_commit_jax.py).
 
-    Two device strategies, same result:
+    Three device strategies, same result:
+      * TPU, log_size >= 9: fused Pallas extraction (ops/ingest_pallas) —
+        one HBM pass, no element-granular relayout (the XLA unpack's
+        15-word transpose + 16-way interleave lower to near-scalar copies
+        costing ~3.5 ms flat, the whole small-blob commit budget), then the
+        power-of-2 tiled per-row bit-reversal of the remaining bits.
       * log_size >= 4: gather-free unpack (device_unpack_blocks) + transpose
         bit-reversal (bitrev_rows_device) — all contiguous HBM traffic.
       * tiny sizes: the direct per-felt (lo, hi) word-gather pair (bit
         offsets 30*f must fit uint32, hence the log_size + 2 <= 27 bound —
         the main path has no such limit)."""
+    import jax
     import jax.numpy as jnp
 
+    if log_size >= 9:
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from ..ops import ingest_pallas
+
+            pre = ingest_pallas.ingest_rows(words, log_size)
+            return bitrev_rows_device(pre, log_size - 4).reshape(
+                4, 1 << log_size
+            )
     if log_size >= 4:
         return bitrev_rows_device(device_unpack_blocks(words, log_size + 2),
                                   log_size)

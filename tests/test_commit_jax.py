@@ -45,6 +45,32 @@ def test_device_ingest_rev_matches_host_path(size):
     assert np.array_equal(got, expect)
 
 
+@pytest.mark.parametrize("log_size", [9, 11])
+def test_ingest_pallas_rows_match_xla_path(log_size):
+    """The fused Pallas ingest kernel (interpret mode on CPU; the small
+    shift/or body is cheap to interpret, unlike the unrolled blake kernels)
+    must produce exactly the XLA unpack+bitrev result after the shared
+    per-row bit-reversal."""
+    import jax.numpy as jnp
+
+    from frieda_tpu.ops import ingest_pallas
+
+    rng = np.random.default_rng(log_size)
+    total = 1 << (log_size + 2)
+    data = rng.integers(0, 256, total * 30 // 8, dtype=np.uint8).tobytes()
+    words = jnp.asarray(packing.pad_to_words(data, log_size + 2))
+    expect = np.asarray(
+        packing.bitrev_rows_device(
+            packing.device_unpack_blocks(words, log_size + 2), log_size
+        )
+    )
+    pre = ingest_pallas.ingest_rows(words, log_size, interpret=True)
+    got = np.asarray(
+        packing.bitrev_rows_device(pre, log_size - 4).reshape(4, 1 << log_size)
+    )
+    assert np.array_equal(got, expect)
+
+
 @pytest.mark.slow
 def test_commit_golden_blob_jax(blob):
     # The reference's golden vector (src/commit.rs:28-38) on the JAX path.

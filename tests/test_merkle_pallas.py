@@ -175,7 +175,8 @@ def test_pruned_levels_and_auth_gathers_match_full_tree():
     cols = jnp.asarray(rng.integers(0, P, (4, n), dtype=np.uint32))
     full = merkle.device_levels(cols, cutoff_log=0)
     pruned = merkle.device_levels_pruned(cols)
-    assert [lv for lv, _ in pruned][:2] == [3, 4]  # fused grouping engaged
+    # every multiple-of-3 level + the root, nothing else
+    assert [lv for lv, _ in pruned] == [3, 6, 9, 12, 15]
     assert pruned[-1][0] == log_leaves  # ends at the width-1 root level
     for lv, arr in pruned:
         assert np.array_equal(np.asarray(arr), np.asarray(full[lv])), lv
