@@ -318,12 +318,15 @@ def verify_openings_rows(
     Fully vectorized per level: pair grouping is numpy index math and hashing
     is ONE native call per level (the per-node Python walk + ctypes call it
     replaces dominated light-client verify time)."""
-    for h in hash_witness:
-        if not isinstance(h, bytes) or len(h) != 32:
-            return False
+    try:  # single C-level join validates + packs in one pass
+        joined = b"".join(hash_witness)
+    except TypeError:
+        return False
+    if len(joined) != 32 * len(hash_witness):
+        return False
     wit_rows = (
-        np.frombuffer(b"".join(hash_witness), np.uint32).reshape(-1, 8)
-        if hash_witness
+        np.frombuffer(joined, np.uint32).reshape(-1, 8)
+        if joined
         else np.zeros((0, 8), np.uint32)
     )
     idxs = np.asarray(idxs, np.int64)

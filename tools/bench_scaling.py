@@ -86,6 +86,17 @@ def main():
                 log(f"elem={n_elem} failed: {e}")
             n_elem *= 2
 
+    cluster = None
+    if "--no-cluster" not in sys.argv:
+        try:
+            cluster = _bench_cluster_2proc(log_felts_list[-1])
+            log(f"2-process cluster (log_felts {cluster['log_felts']}): "
+                f"{cluster['ms_per_blob']} ms/blob vs local "
+                f"{cluster['ms_per_blob_local']} ms, overhead-efficiency "
+                f"{cluster['overhead_efficiency']*100:.0f}%")
+        except Exception as e:  # noqa: BLE001
+            log(f"cluster row failed: {e}")
+
     out = {
         "platform": f"{n_dev_total}x virtual {jax.devices()[0].platform} mesh",
         "note": ("virtual devices share host cores; overhead_efficiency = "
@@ -93,10 +104,55 @@ def main():
                  "On a real slice the same program measures true scaling."),
         "records": records,
     }
+    if cluster is not None:
+        out["cluster_2proc"] = cluster
+        out["cluster_note"] = (
+            "2 separate OS processes forming a jax.distributed cluster "
+            "(1 device each, collectives through the distributed runtime) — "
+            "the closest single-box stand-in for BASELINE.md's N-host row; "
+            "same caveat: both processes share this host's cores, so the "
+            "ratio measures distributed-runtime overhead, not speedup."
+        )
     path = os.path.join(REPO, "SCALING.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     log(f"wrote {path}")
+
+
+def _bench_cluster_2proc(log_felts: int):
+    """Spawn the 2-process jax.distributed cluster (tools/_scaling_worker.py)
+    and collect its timing row (VERDICT r4 item 7)."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_scaling_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers pin their own 1-device flag
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, str(pid), str(log_felts)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for pid, (p, (so, se)) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 or f"WORKER_{pid}_OK" not in se:
+            raise RuntimeError(f"worker {pid} failed:\n{so}\n{se}")
+    row = json.loads(outs[0][0].strip().splitlines()[-1])
+    return {
+        "log_felts": row["log_felts"],
+        "n_processes": 2,
+        "ms_per_blob": round(row["t_cluster_s"] * 1e3, 2),
+        "ms_per_blob_local": round(row["t_local_s"] * 1e3, 2),
+        "felts_per_s": round((1 << row["log_felts"]) / row["t_cluster_s"]),
+        "overhead_efficiency": round(row["t_local_s"] / row["t_cluster_s"], 3),
+    }
 
 
 def _bench_elem_sharded(sharding, coeffs_rev, log_domain, n_elem, iters=3):
