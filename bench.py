@@ -302,6 +302,15 @@ def _main_inner():
         assert all(api.verify(p, s) for s, (_, p) in enumerate(batch))
         log(f"pipelined blob prove ({k} in flight): {t_batch*1e3:.0f} ms/proof, "
             f"{1/t_batch:.1f} proofs/s")
+        # batch verification (the DAS light-client's many-samples shape)
+        vb = [p for _, p in batch] * 8  # 64 same-shape proofs
+        vs = [s % k for s in range(len(vb))]
+        assert all(api.verify_many(vb, vs))
+        t0 = time.perf_counter()
+        api.verify_many(vb, vs)
+        t_vm = (time.perf_counter() - t0) / len(vb)
+        log(f"verify_many ({len(vb)} blob proofs): {t_vm*1e3:.2f} ms/proof "
+            f"({t_verify/t_vm:.1f}x looped verify)")
     except Exception as e:  # noqa: BLE001
         log(f"prove/verify bench failed: {e}")
 

@@ -155,3 +155,14 @@ def verify(proof, seed) -> bool:
     from .core.fri import verify_proof
 
     return verify_proof(proof, seed)
+
+
+def verify_many(proofs, seeds) -> list:
+    """Batch verification: semantically [verify(p, s) for ...] but several
+    times faster for same-shaped batches — the DAS light-client's natural
+    workload is many cheap samples, so the per-proof Python/native overhead
+    is amortized by walking all proofs' FRI layers together on concatenated
+    arrays (core/fri.verify_many)."""
+    from .core.fri import verify_many as _vm
+
+    return _vm(proofs, seeds)

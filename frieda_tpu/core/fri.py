@@ -892,7 +892,16 @@ def _valid_qm31_list(lst) -> bool:
     )
 
 
-def _verify_proof_inner(proof: Proof, seed) -> bool:
+def _replay_and_validate(proof: Proof, seed):
+    """Shared front half of verification: structural validation + Fiat-
+    Shamir transcript replay. Returns None for invalid proofs, else
+    (n, n_inner, queries, vals, alpha0, alphas) where queries is the sorted
+    unique sampled position list and vals the matching (m, 4) uint64
+    evaluation rows. Raises IndexError if `evaluations` is shorter than the
+    sampled query set (deliberate reference panic-parity,
+    src/proof.rs:166-173)."""
+    from . import npfield
+
     # --- structural validation (FriVerifier::commit's fallible parse:
     # malformed => Err => false, src/proof.rs:84-91; never raise) ---
     try:
@@ -905,13 +914,13 @@ def _verify_proof_inner(proof: Proof, seed) -> bool:
         all_layers = [proof.proof.first_layer] + list(proof.proof.inner_layers)
         for layer in all_layers:
             if not isinstance(layer.commitment, bytes) or len(layer.commitment) != 32:
-                return False
+                return None
             if not _valid_qm31_list(layer.fri_witness):
-                return False
+                return None
             if not _valid_hash_witness(layer.decommitment.hash_witness):
-                return False
+                return None
     except (AttributeError, TypeError, ValueError):
-        return False
+        return None
     # Explicit config-bounds validation (not just FriConfig's asserts, which
     # `python -O` strips): a deserialized proof claiming blowup 0 would read
     # one past the twiddle layer tables (circle._line_layer_tables) and raise
@@ -922,19 +931,19 @@ def _verify_proof_inner(proof: Proof, seed) -> bool:
         and fri_cfg.n_queries >= 1
         and 0 <= cfg.pow_bits <= 60
     ):
-        return False
+        return None
     n = log_size + fri_cfg.log_blowup_factor
     last_log = fri_cfg.log_last_layer_degree_bound + fri_cfg.log_blowup_factor
     n_inner = n - 1 - last_log
     # --- FriVerifier::commit equivalent: shape checks + transcript replay ---
     if n_inner < 0:
-        return False
+        return None
     if len(proof.proof.inner_layers) != n_inner:
-        return False
+        return None
     if len(proof.proof.last_layer_poly) != (1 << fri_cfg.log_last_layer_degree_bound):
-        return False
+        return None
     if not _valid_qm31_list(proof.proof.last_layer_poly):
-        return False
+        return None
 
     channel = Blake2sChannel()
     if seed is not None:
@@ -949,20 +958,28 @@ def _verify_proof_inner(proof: Proof, seed) -> bool:
 
     channel.mix_u64(proof.proof_of_work)
     if channel.trailing_zeros() < cfg.pow_bits:
-        return False
+        return None
     queries = sample_query_positions(channel, n, fri_cfg.n_queries)
 
     # Deliberate reference quirk: missing evaluations panic, extras are invalid.
     values = {q: proof.evaluations[i] for i, q in enumerate(queries)}
     if len(proof.evaluations) > len(queries):
-        return False
+        return None
     if not _valid_qm31_list(list(values.values())):
-        return False
+        return None
+    vals = npfield.qm31_arr([values[q] for q in queries])
+    return n, n_inner, queries, vals, alpha0, alphas
 
-    # --- first layer: Merkle + circle->line fold (vectorized numpy) ---
+
+def _verify_proof_inner(proof: Proof, seed) -> bool:
     from . import npfield
 
-    vals = npfield.qm31_arr([values[q] for q in queries])
+    ctx = _replay_and_validate(proof, seed)
+    if ctx is None:
+        return False
+    n, n_inner, queries, vals, alpha0, alphas = ctx
+
+    # --- first layer: Merkle + circle->line fold (vectorized numpy) ---
     grouped = _verify_layer_merkle(
         proof.proof.first_layer.commitment, n, queries, vals,
         proof.proof.first_layer.fri_witness,
@@ -998,3 +1015,181 @@ def _verify_proof_inner(proof: Proof, seed) -> bool:
     xs = hostcircle.line_x_batch(n, n_inner, positions)
     want = _eval_line_poly_batch(proof.proof.last_layer_poly, xs)
     return bool(np.array_equal(want, folded))
+
+
+# ---------------------------------------------------------------------------
+# Batch verification (VERDICT r4 item 8): the DAS light client's real shape
+# is MANY cheap samples, so verify_many amortizes the per-proof Python cost —
+# all proofs of one (n, n_inner) group walk the layers TOGETHER on
+# concatenated arrays (grouping/witness-fill/folds as single numpy passes,
+# leaf hashing as one native call per layer, opening walks as ONE native
+# batch call per layer instead of one per proof).
+# ---------------------------------------------------------------------------
+
+def verify_many(proofs, seeds) -> list:
+    """Verify a batch of independent proofs; returns a list of bools in
+    input order. Exactly equivalent to [verify_proof(p, s) ...] including
+    the evaluations-panic quirk, but ~4-6x faster for same-shaped batches.
+    """
+    proofs = list(proofs)
+    seeds = list(seeds)
+    if len(proofs) != len(seeds):
+        raise ValueError(f"{len(proofs)} proofs but {len(seeds)} seeds")
+    results = [False] * len(proofs)
+    groups: dict = {}
+    ctxs: dict = {}
+    for i, (pr, sd) in enumerate(zip(proofs, seeds)):
+        try:
+            ctx = _replay_and_validate(pr, sd)
+        except IndexError:
+            raise  # panic-parity quirk (verify_proof does the same)
+        except Exception:  # noqa: BLE001 — malformed proof object
+            ctx = None
+        if ctx is None:
+            continue
+        ctxs[i] = ctx
+        groups.setdefault((ctx[0], ctx[1]), []).append(i)
+    from . import merkle as merkle_mod
+
+    nat = merkle_mod._native()
+    for (n, n_inner), members in groups.items():
+        if nat is None or len(members) == 1:
+            for i in members:
+                try:
+                    results[i] = _verify_proof_inner(proofs[i], seeds[i])
+                except Exception:  # noqa: BLE001
+                    results[i] = False
+            continue
+        try:
+            oks = _batched_layer_walk(
+                n, n_inner, [proofs[i] for i in members],
+                [ctxs[i] for i in members], nat,
+            )
+            for i, ok in zip(members, oks):
+                results[i] = bool(ok)
+        except Exception:  # noqa: BLE001 — fall back to the scalar path
+            for i in members:
+                try:
+                    results[i] = _verify_proof_inner(proofs[i], seeds[i])
+                except Exception:  # noqa: BLE001
+                    results[i] = False
+    return results
+
+
+def _batched_layer_walk(n: int, n_inner: int, proofs, ctxs, nat) -> np.ndarray:
+    """All layers of a same-shape proof batch on concatenated arrays.
+
+    Segmentation trick: proof p's layer positions are offset by p << log_len.
+    Offsets are even multiples of the local domain, so pair grouping
+    ((2k, 2k+1) adjacency), parity, and halving (k = pos >> 1 keeps the
+    offset as p << (log_len - 1)) all stay correct on the flat array and
+    pairs can never straddle a proof boundary; witness values concatenate
+    proof-major, matching encounter order."""
+    from . import npfield
+
+    P_ = len(proofs)
+    alive = np.ones(P_, bool)
+    pos_list = [np.asarray(c[2], np.int64) for c in ctxs]   # local positions
+    val_list = [c[3] for c in ctxs]                          # (m, 4) uint64
+    for l in range(-1, n_inner):
+        log_len = n if l < 0 else n - 1 - l
+        layers = [
+            (p.proof.first_layer if l < 0 else p.proof.inner_layers[l])
+            for p in proofs
+        ]
+        lens = np.array([x.size for x in pos_list], np.int64)
+        offs = np.arange(P_, dtype=np.int64) << log_len
+        pos_all = np.concatenate(
+            [pos + offs[p] for p, pos in enumerate(pos_list)]
+        )
+        vals_all = np.concatenate(val_list)
+        seg_id = np.repeat(np.arange(P_), lens)
+        m = pos_all.size
+        is_start = np.zeros(m, bool)
+        if m > 1:
+            is_start[:-1] = (pos_all[:-1] % 2 == 0) & (pos_all[1:] == pos_all[:-1] + 1)
+        is_second = np.zeros(m, bool)
+        is_second[1:] = is_start[:-1]
+        lone = ~is_start & ~is_second
+        keep = is_start | lone
+        kidx = pos_all[keep]
+        pair_ks = kidx >> 1          # still offset by p << (log_len - 1)
+        k_n = pair_ks.size
+        # per-proof witness arrays; count check per segment
+        lone_count = np.bincount(seg_id[lone], minlength=P_)
+        wits = []
+        for p, layer in enumerate(layers):
+            fw = layer.fri_witness
+            w = (np.asarray(fw, np.uint64).reshape(-1, 4) if len(fw)
+                 else np.zeros((0, 4), np.uint64))
+            if w.shape[0] != lone_count[p]:
+                alive[p] = False
+                # keep the flat walk aligned for the other proofs
+                w = np.zeros((lone_count[p], 4), np.uint64)
+            wits.append(w)
+        wit_all = (np.concatenate(wits) if wits else
+                   np.zeros((0, 4), np.uint64))
+        v0s = np.empty((k_n, 4), np.uint64)
+        v1s = np.empty((k_n, 4), np.uint64)
+        lone_k = lone[keep]
+        paired_k = ~lone_k
+        start_rows = np.flatnonzero(keep)[paired_k]
+        v0s[paired_k] = vals_all[start_rows]
+        v1s[paired_k] = vals_all[start_rows + 1]
+        lone_rows = np.flatnonzero(keep)[lone_k]
+        even_sel = (kidx[lone_k] % 2 == 0)  # offsets even: parity is local
+        lone_even = lone_k.copy(); lone_even[lone_k] = even_sel
+        lone_odd = lone_k.copy(); lone_odd[lone_k] = ~even_sel
+        v0s[lone_even] = vals_all[lone_rows[even_sel]]
+        v1s[lone_even] = wit_all[even_sel.nonzero()[0]]
+        v0s[lone_odd] = wit_all[(~even_sel).nonzero()[0]]
+        v1s[lone_odd] = vals_all[lone_rows[~even_sel]]
+        # one leaf-hash pass + ONE native opening walk for the whole batch
+        msgs = np.zeros((2 * k_n, 16), np.uint32)
+        msgs[0::2, :4] = v0s.astype(np.uint32)
+        msgs[1::2, :4] = v1s.astype(np.uint32)
+        leaf_rows = merkle.compress_rows_host(msgs)
+        pair_count = np.bincount(seg_id[keep], minlength=P_)
+        pair_off = np.concatenate([[0], np.cumsum(pair_count)])
+        local_ks = pair_ks - (np.repeat(offs, pair_count) >> 1)
+        leaf_idxs = np.empty(2 * k_n, np.int64)
+        leaf_idxs[0::2] = 2 * local_ks
+        leaf_idxs[1::2] = 2 * local_ks + 1
+        hash_wits = [
+            np.frombuffer(b"".join(layer.decommitment.hash_witness),
+                          np.uint32).reshape(-1, 8)
+            if layer.decommitment.hash_witness
+            else np.zeros((0, 8), np.uint32)
+            for layer in layers
+        ]
+        wseg = np.concatenate([[0], np.cumsum([w.shape[0] for w in hash_wits])])
+        ok_nat, roots = nat.verify_openings_batch(
+            log_len, 2 * pair_off, leaf_idxs, leaf_rows, wseg,
+            np.concatenate(hash_wits) if hash_wits else
+            np.zeros((0, 8), np.uint32),
+        )
+        root_match = np.array([
+            roots[p].tobytes() == layers[p].commitment for p in range(P_)
+        ])
+        alive &= ok_nat & root_match
+        # fold (per-row alphas via repeat by segment pair counts)
+        if l < 0:
+            inv = hostcircle.ys_inv_at_stored_pairs(n, local_ks)
+            a_rows = npfield.qm31_arr([c[4] for c in ctxs])  # (P, 4)
+        else:
+            inv = hostcircle.line_x_inv_batch(n, l, 2 * local_ks)
+            a_rows = npfield.qm31_arr([c[5][l] for c in ctxs])
+        alpha_all = np.repeat(a_rows, pair_count, axis=0)
+        f0 = npfield.qm31_add(v0s, v1s)
+        f1 = npfield.qm31_mul_m31(npfield.qm31_sub(v0s, v1s), inv)
+        folded = npfield.qm31_add(f0, npfield.qm31_mul(alpha_all, f1))
+        pos_list = [local_ks[pair_off[p]:pair_off[p + 1]] for p in range(P_)]
+        val_list = [folded[pair_off[p]:pair_off[p + 1]] for p in range(P_)]
+    # last layer: evaluate each proof's claimed polynomial at its positions
+    for p in range(P_):
+        if not alive[p]:
+            continue
+        xs = hostcircle.line_x_batch(n, n_inner, pos_list[p])
+        want = _eval_line_poly_batch(proofs[p].proof.last_layer_poly, xs)
+        alive[p] = bool(np.array_equal(want, val_list[p]))
+    return alive

@@ -63,6 +63,11 @@ def get_lib():
         ctypes.c_uint32, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p]
     lib.frieda_verify_openings.restype = ctypes.c_int
+    lib.frieda_verify_openings_batch.argtypes = [
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.frieda_verify_openings_batch.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -123,6 +128,30 @@ def hash_pair(left: bytes, right: bytes) -> bytes:
     out = np.empty(8, np.uint32)
     lib.frieda_hash_pair(left, right, out.ctypes.data)
     return out.tobytes()
+
+
+def verify_openings_batch(log_n: int, seg: np.ndarray, idxs: np.ndarray,
+                          rows: np.ndarray, wseg: np.ndarray,
+                          wit_rows: np.ndarray):
+    """Multi-opening walks over len(seg)-1 independent equal-depth trees in
+    ONE native call. seg/wseg: (P+1,) uint64 row offsets into idxs/rows and
+    wit_rows; idxs tree-local. Returns (ok (P,) bool, roots (P, 8) uint32)."""
+    import ctypes as ct
+
+    lib = get_lib()
+    p = seg.shape[0] - 1
+    seg = np.ascontiguousarray(seg, np.uint64)
+    wseg = np.ascontiguousarray(wseg, np.uint64)
+    idxs = np.ascontiguousarray(idxs, np.int64)
+    rows = np.ascontiguousarray(rows, np.uint32)
+    wit_rows = np.ascontiguousarray(wit_rows, np.uint32)
+    roots = np.empty((p, 8), np.uint32)
+    ok = np.zeros(p, np.uint8)
+    lib.frieda_verify_openings_batch(
+        log_n, p, seg.ctypes.data, idxs.ctypes.data, rows.ctypes.data,
+        wseg.ctypes.data, wit_rows.ctypes.data, roots.ctypes.data,
+        ok.ctypes.data)
+    return ok.astype(bool), roots
 
 
 def verify_openings(log_n: int, idxs: np.ndarray, rows: np.ndarray,

@@ -230,6 +230,29 @@ int frieda_verify_openings(uint32_t log_n, uint64_t n, const int64_t* idxs,
   return 1;
 }
 
+// Batched multi-opening walk over n_trees INDEPENDENT equal-depth trees
+// (the light-client verify_many hot path: one call per layer depth for a
+// whole batch of proofs instead of one per proof). Tree p owns leaf rows
+// [seg[p], seg[p+1]) of idxs/rows and witness rows [wseg[p], wseg[p+1]).
+// idxs are tree-local (already de-offset). Writes n_trees x 8 root words
+// and per-tree ok flags (walk completed AND consumed its witness exactly).
+int frieda_verify_openings_batch(uint32_t log_n, uint32_t n_trees,
+                                 const uint64_t* seg, const int64_t* idxs,
+                                 const uint32_t* rows, const uint64_t* wseg,
+                                 const uint32_t* wit, uint32_t* out_roots,
+                                 uint8_t* out_ok) {
+  for (uint32_t p = 0; p < n_trees; ++p) {
+    uint64_t n = seg[p + 1] - seg[p];
+    uint64_t n_wit = wseg[p + 1] - wseg[p];
+    uint64_t consumed = 0;
+    int ok = frieda_verify_openings(log_n, n, idxs + seg[p], rows + 8 * seg[p],
+                                    wit + 8 * wseg[p], n_wit,
+                                    out_roots + 8 * p, &consumed);
+    out_ok[p] = (ok && consumed == n_wit) ? 1 : 0;
+  }
+  return 1;
+}
+
 // Merkle pair hash: compress(0, left(8 words) || right(8 words)).
 void frieda_hash_pair(const uint32_t* left8, const uint32_t* right8, uint32_t* out8) {
   uint32_t m[16];

@@ -192,6 +192,39 @@ def test_prove_many_hbm_window(monkeypatch):
     assert all(api.verify(p, s) for s, (_, p) in zip([1, 2], batch))
 
 
+def test_verify_many_matches_scalar():
+    """Batched verification must agree with per-proof verify on valid
+    proofs, tampered proofs, wrong seeds, and mixed shapes in one batch."""
+    cfg = PcsConfig(pow_bits=4, fri_config=FriConfig(2, 0, 8))
+    datas = [bytes((i * k + 3) % 256 for i in range(512)) for k in (7, 11, 13)]
+    seeds = [1, 2, None]
+    batch = api.prove_many(datas, seeds, cfg)
+    proofs = [p for _, p in batch]
+    # a different-shaped proof in the same batch (separate group)
+    data_big = bytes((i * 5 + 1) % 256 for i in range(4096))
+    _, p_big = api.commit_and_prove(data_big, 9, cfg)
+    # tampered: flip one felt of a witness
+    import copy
+
+    p_bad = copy.deepcopy(proofs[1])
+    ll = p_bad.proof.inner_layers[0]
+    if ll.fri_witness:
+        w0 = list(ll.fri_witness[0])
+        w0[0] ^= 1
+        ll.fri_witness[0] = tuple(w0)
+    else:
+        p_bad.proof.last_layer_poly[0] = tuple(
+            (v + 1) % ((1 << 31) - 1) for v in p_bad.proof.last_layer_poly[0]
+        )
+    all_proofs = proofs + [p_big, p_bad, proofs[0]]
+    all_seeds = seeds + [9, 2, 999]  # last: valid proof, wrong seed
+    got = api.verify_many(all_proofs, all_seeds)
+    want = [api.verify(p, s) for p, s in zip(all_proofs, all_seeds)]
+    assert got == want
+    assert want[:4] == [True, True, True, True]
+    assert want[4] is False and want[5] is False
+
+
 def test_prove_many_matches_sequential():
     """Pipelined batch proving must produce exactly the proofs the
     sequential path produces (same transcripts, same wire bytes)."""
