@@ -860,36 +860,34 @@ def verify_proof(proof: Proof, seed) -> bool:
         return False
 
 
-def _valid_hash_witness(hw) -> bool:
-    """True iff every entry is a 32-byte bytes object. b''.join is a single
-    C-level pass (raises TypeError on any non-bytes entry); the per-element
-    isinstance genexpr it replaces scanned ~2k entries per blob verify."""
-    try:
-        return len(b"".join(hw)) == 32 * len(hw)
-    except TypeError:
-        return False
-
-
-def _valid_qm31_list(lst) -> bool:
-    """True iff every entry is a 4-tuple of in-field integers — vectorized
-    (the per-element genexpr it replaces was a verify hot spot). The tuple
-    type itself is spot-checked on the first entry; any shape/type ragged-
-    ness in the rest surfaces as a non-integer or non-(n, 4) array."""
+def _qm31_array_or_none(lst):
+    """(m, 4) uint64 array of the felt list, or None if any entry is not a
+    4-tuple of in-field integers — vectorized (the per-element genexpr this
+    replaces was a verify hot spot), and the conversion is returned so
+    callers never re-convert. The tuple type itself is spot-checked on the
+    first entry; any shape/type raggedness in the rest surfaces as a
+    non-integer or non-(n, 4) array."""
     if not lst:
-        return True
+        return np.zeros((0, 4), np.uint64)
     if type(lst[0]) is not tuple:
-        return False
+        return None
     try:
         arr = np.asarray(lst)
     except (TypeError, ValueError, OverflowError):
-        return False
-    return (
+        return None
+    if (
         arr.dtype.kind in "iu"
         and arr.ndim == 2
         and arr.shape[1] == 4
         and bool((arr >= 0).all())
         and bool((arr < P).all())
-    )
+    ):
+        return arr.astype(np.uint64)
+    return None
+
+
+def _valid_qm31_list(lst) -> bool:
+    return _qm31_array_or_none(lst) is not None
 
 
 def _replay_and_validate(proof: Proof, seed):
@@ -912,13 +910,26 @@ def _replay_and_validate(proof: Proof, seed):
         if not (0 <= log_size <= 48 and 0 <= pow_nonce < (1 << 64)):
             return False
         all_layers = [proof.proof.first_layer] + list(proof.proof.inner_layers)
+        wit_arrays = []
+        hash_rows = []
         for layer in all_layers:
             if not isinstance(layer.commitment, bytes) or len(layer.commitment) != 32:
                 return None
-            if not _valid_qm31_list(layer.fri_witness):
+            w = _qm31_array_or_none(layer.fri_witness)
+            if w is None:
                 return None
-            if not _valid_hash_witness(layer.decommitment.hash_witness):
+            wit_arrays.append(w)
+            hw = layer.decommitment.hash_witness
+            try:
+                joined = b"".join(hw)
+            except TypeError:
                 return None
+            if len(joined) != 32 * len(hw):
+                return None
+            hash_rows.append(
+                np.frombuffer(joined, np.uint32).reshape(-1, 8)
+                if joined else np.zeros((0, 8), np.uint32)
+            )
     except (AttributeError, TypeError, ValueError):
         return None
     # Explicit config-bounds validation (not just FriConfig's asserts, which
@@ -968,7 +979,7 @@ def _replay_and_validate(proof: Proof, seed):
     if not _valid_qm31_list(list(values.values())):
         return None
     vals = npfield.qm31_arr([values[q] for q in queries])
-    return n, n_inner, queries, vals, alpha0, alphas
+    return n, n_inner, queries, vals, alpha0, alphas, wit_arrays, hash_rows
 
 
 def _verify_proof_inner(proof: Proof, seed) -> bool:
@@ -977,7 +988,7 @@ def _verify_proof_inner(proof: Proof, seed) -> bool:
     ctx = _replay_and_validate(proof, seed)
     if ctx is None:
         return False
-    n, n_inner, queries, vals, alpha0, alphas = ctx
+    n, n_inner, queries, vals, alpha0, alphas = ctx[:6]
 
     # --- first layer: Merkle + circle->line fold (vectorized numpy) ---
     grouped = _verify_layer_merkle(
@@ -1097,6 +1108,7 @@ def _batched_layer_walk(n: int, n_inner: int, proofs, ctxs, nat) -> np.ndarray:
             (p.proof.first_layer if l < 0 else p.proof.inner_layers[l])
             for p in proofs
         ]
+        li = l + 1  # ctx wit/hash arrays index: 0 = first layer
         lens = np.array([x.size for x in pos_list], np.int64)
         offs = np.arange(P_, dtype=np.int64) << log_len
         pos_all = np.concatenate(
@@ -1118,10 +1130,8 @@ def _batched_layer_walk(n: int, n_inner: int, proofs, ctxs, nat) -> np.ndarray:
         # per-proof witness arrays; count check per segment
         lone_count = np.bincount(seg_id[lone], minlength=P_)
         wits = []
-        for p, layer in enumerate(layers):
-            fw = layer.fri_witness
-            w = (np.asarray(fw, np.uint64).reshape(-1, 4) if len(fw)
-                 else np.zeros((0, 4), np.uint64))
+        for p in range(P_):
+            w = ctxs[p][6][li]  # pre-converted by _replay_and_validate
             if w.shape[0] != lone_count[p]:
                 alive[p] = False
                 # keep the flat walk aligned for the other proofs
@@ -1155,13 +1165,7 @@ def _batched_layer_walk(n: int, n_inner: int, proofs, ctxs, nat) -> np.ndarray:
         leaf_idxs = np.empty(2 * k_n, np.int64)
         leaf_idxs[0::2] = 2 * local_ks
         leaf_idxs[1::2] = 2 * local_ks + 1
-        hash_wits = [
-            np.frombuffer(b"".join(layer.decommitment.hash_witness),
-                          np.uint32).reshape(-1, 8)
-            if layer.decommitment.hash_witness
-            else np.zeros((0, 8), np.uint32)
-            for layer in layers
-        ]
+        hash_wits = [ctxs[p][7][li] for p in range(P_)]
         wseg = np.concatenate([[0], np.cumsum([w.shape[0] for w in hash_wits])])
         ok_nat, roots = nat.verify_openings_batch(
             log_len, 2 * pair_off, leaf_idxs, leaf_rows, wseg,
