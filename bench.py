@@ -196,6 +196,38 @@ def bench_device_sustained(log_felts: int, log_blowup: int = 4, k: int | None = 
     return (1 << log_felts) / dt, dt
 
 
+def bench_commit_many(log_felts: int, k: int = 64):
+    """Many-small-blob DAS serving shape: k equal-sized blobs committed in
+    ONE vmapped dispatch (api.commit_many's device path), device-resident.
+    Small blobs are dispatch-bound when issued one-by-one (~0.5 ms tunnel
+    dispatch overhead vs ~0.8 ms of 2^16 device compute); batching removes
+    that entirely. The residual vs the SoL floor (~0.28 ms at 2^16, ~35%)
+    is per-grid-step overhead of the ~8 kernels at tiny widths — further
+    fusion would trade the shared kernel bodies for shape-specialized ones."""
+    import jax.numpy as jnp
+
+    from frieda_tpu import api
+    from frieda_tpu.core import fft
+    from frieda_tpu.utils.packing import log_total_for, pad_to_words
+
+    n_bytes = (1 << log_felts) * 30 // 8
+    log_total = log_total_for(n_bytes)
+    tw = fft.stage_twiddles(log_total - 2 + 4)
+    words = np.stack([
+        pad_to_words(synthetic_data(n_bytes, seed=i), log_total) for i in range(k)
+    ])
+    words_d = jax.device_put(words)
+    words_d.block_until_ready()
+    jax.device_get(api._commit_root_pipeline_batch(words_d, tw, log_total))
+    dts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(api._commit_root_pipeline_batch(words_d, tw, log_total))
+        dts.append((time.perf_counter() - t0) / k)
+    dt = statistics.median(dts)
+    return (1 << log_felts) / dt, dt
+
+
 def bench_prove_device(log_felts: int, n_queries: int = 20, window: int = 4):
     """Device-sustained proof generation (VERDICT r4 item 3): raw words
     pre-staged on device, up to `window` commit phases in flight ahead of the
@@ -281,6 +313,15 @@ def _main_inner():
                 f"tunnel-insensitive)")
         except Exception as e:  # noqa: BLE001
             log(f"device sustained 2^{log_felts} failed: {e}")
+
+    if not smoke:
+        try:
+            tput, dt = bench_commit_many(16, k=64)
+            log(f"batched small-blob commit (64 x 2^16 felts, ONE dispatch): "
+                f"{dt*1e3:.2f} ms/blob, {tput/1e6:.1f} M felts/s "
+                f"({tput/RUST_SINGLE_CORE_FELTS_PER_SEC:.1f}x baseline)")
+        except Exception as e:  # noqa: BLE001
+            log(f"batched small-blob commit failed: {e}")
 
     # Proof generation + verification timing at the reference bench config.
     try:
