@@ -188,29 +188,36 @@ void frieda_bitrev_u32(const uint32_t* in, uint32_t* out, uint32_t log_n) {
 int frieda_verify_openings(uint32_t log_n, uint64_t n, const int64_t* idxs,
                            const uint32_t* rows, const uint32_t* wit,
                            uint64_t n_wit, uint32_t* out8, uint64_t* consumed) {
-  std::vector<int64_t> idx(idxs, idxs + n);
-  std::vector<uint32_t> h(rows, rows + 8 * n);
+  // Two preallocated ping-pong buffers (each level's node count only ever
+  // shrinks) — the per-level vector builds this replaces were ~4 mallocs x
+  // log_n levels per tree, a visible cost in verify_many's batched calls.
+  std::vector<int64_t> idxbuf(2 * n);
+  std::vector<uint32_t> hbuf(2 * 8 * n);
+  int64_t* cur_idx = idxbuf.data();
+  int64_t* nxt_idx = idxbuf.data() + n;
+  uint32_t* cur_h = hbuf.data();
+  uint32_t* nxt_h = hbuf.data() + 8 * n;
+  std::memcpy(cur_idx, idxs, n * sizeof(int64_t));
+  std::memcpy(cur_h, rows, 8 * n * sizeof(uint32_t));
+  uint64_t cnt = n;
   uint64_t wi = 0;
   for (uint32_t lvl = 0; lvl < log_n; ++lvl) {
-    if (idx.empty()) break;
-    std::vector<int64_t> nidx;
-    nidx.reserve(idx.size());
-    std::vector<uint32_t> nh;
-    nh.reserve(h.size());
+    if (cnt == 0) break;
+    uint64_t out = 0;
     uint64_t i = 0;
-    while (i < idx.size()) {
-      int64_t cur = idx[i];
+    while (i < cnt) {
+      int64_t cur = cur_idx[i];
       const uint32_t *l, *r;
-      if (i + 1 < idx.size() && idx[i + 1] == (cur ^ 1)) {
-        l = &h[8 * i];
-        r = &h[8 * (i + 1)];
+      if (i + 1 < cnt && cur_idx[i + 1] == (cur ^ 1)) {
+        l = cur_h + 8 * i;
+        r = cur_h + 8 * (i + 1);
         i += 2;
       } else {
         if (wi >= n_wit) { *consumed = wi; return 0; }
         const uint32_t* w = wit + 8 * wi;
         ++wi;
-        if ((cur & 1) == 0) { l = &h[8 * i]; r = w; }
-        else { l = w; r = &h[8 * i]; }
+        if ((cur & 1) == 0) { l = cur_h + 8 * i; r = w; }
+        else { l = w; r = cur_h + 8 * i; }
         i += 1;
       }
       uint32_t m[16];
@@ -218,15 +225,17 @@ int frieda_verify_openings(uint32_t log_n, uint64_t n, const int64_t* idxs,
       std::memcpy(m + 8, r, 32);
       uint32_t hh[8] = {0, 0, 0, 0, 0, 0, 0, 0};
       compress(hh, m, 0, false);
-      nidx.push_back(cur >> 1);
-      nh.insert(nh.end(), hh, hh + 8);
+      nxt_idx[out] = cur >> 1;
+      std::memcpy(nxt_h + 8 * out, hh, 32);
+      ++out;
     }
-    idx.swap(nidx);
-    h.swap(nh);
+    std::swap(cur_idx, nxt_idx);
+    std::swap(cur_h, nxt_h);
+    cnt = out;
   }
   *consumed = wi;
-  if (idx.size() != 1 || idx[0] != 0) return 0;
-  std::memcpy(out8, h.data(), 32);
+  if (cnt != 1 || cur_idx[0] != 0) return 0;
+  std::memcpy(out8, cur_h, 32);
   return 1;
 }
 
